@@ -1,0 +1,58 @@
+"""igraph_spark — a PySpark-native link-graph analytics engine.
+
+A from-scratch rebuild of the query/data-processing capabilities of the
+igraph C library (reference: /root/reference), re-expressed Spark-first:
+the graph is an edge DataFrame, algorithms are iterative DataFrame
+programs (BSP supersteps) driven by a checkpointing runner, and all
+per-row compute is vectorized (built-in Catalyst expressions or Arrow
+pandas UDFs — never per-row Python).
+
+Public surface:
+
+    Graph                    -- edge-DataFrame graph value class
+    pagerank, personalized_pagerank
+    connected_components     -- weak / strong
+    label_propagation, modularity
+    triangle_count, transitivity, ...
+
+plus operator modules (structure, setops, similarity), data-pipeline
+functions (text, dedup, ann), and deterministic generators.
+"""
+
+from igraph_spark.graph import Graph
+from igraph_spark.algorithms.pagerank import pagerank, personalized_pagerank
+from igraph_spark.algorithms.components import (
+    connected_components,
+    is_connected,
+    component_sizes,
+    decompose_membership,
+)
+from igraph_spark.algorithms.lpa import label_propagation, modularity
+from igraph_spark.algorithms.triangles import (
+    triangle_count,
+    adjacent_triangles,
+    transitivity_undirected,
+    transitivity_local_undirected,
+    list_triangles,
+)
+from igraph_spark.algorithms.kcore import coreness
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Graph",
+    "pagerank",
+    "personalized_pagerank",
+    "connected_components",
+    "is_connected",
+    "component_sizes",
+    "decompose_membership",
+    "label_propagation",
+    "modularity",
+    "triangle_count",
+    "adjacent_triangles",
+    "transitivity_undirected",
+    "transitivity_local_undirected",
+    "list_triangles",
+    "coreness",
+]

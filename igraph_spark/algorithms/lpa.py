@@ -1,0 +1,151 @@
+"""Label-propagation community detection + modularity.
+
+Reference: igraph_community_label_propagation
+(/root/reference/src/community.c:2127-2362), Raghavan-Albert-Kumara
+2007 with weights, initial labels and fixed vertices.  The reference
+sweeps *asynchronously* in shuffled vertex order with random
+tie-breaks (community.c:2248,2301-2304) — intentionally
+nondeterministic; its own test contract is invariant-based (≤4
+communities on karate etc., SURVEY.md §5).
+
+Spark-native design: **semi-synchronous** BSP sweeps — each round
+updates only the vertices whose ``xxhash64(id, seed)`` parity matches
+the round parity (breaking the bipartite oscillation of fully
+synchronous LPA), tallies incident label weight with a join +
+groupBy(dst, label), and picks the dominant label with a deterministic
+tie-break (max weight, then min label).  Fully deterministic at any
+parallelism for a given seed.
+
+Output labels are renumbered densely in order of first appearance by
+vertex id (community.c:2323-2342); never-labeled vertices keep -1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from igraph_spark.graph import Graph, SRC, DST, WEIGHT, ID
+from igraph_spark.checkpointing import SuperstepRunner
+
+
+def _labels_df(graph: Graph, initial) -> DataFrame:
+    """(id, label) start state; None initial => every vertex its own
+    label (community.c:2198-2202); labels < 0 mean 'unlabeled'."""
+    spark = graph.edges.sparkSession
+    verts = graph.vertices.select(ID)
+    if initial is None:
+        return verts.select(ID, F.col(ID).alias("label"))
+    if isinstance(initial, dict):
+        idf = spark.createDataFrame(
+            [(int(k), int(v)) for k, v in initial.items()], "id long, label long")
+    else:
+        idf = initial.select(F.col(initial.columns[0]).cast("long").alias(ID),
+                             F.col(initial.columns[1]).cast("long").alias("label"))
+    return (verts.join(idf, ID, "left")
+            .select(ID, F.when(F.col("label") >= 0, F.col("label")).alias("label")))
+
+
+def label_propagation(graph: Graph, weights: bool | None = None,
+                      initial=None, fixed=None, max_iter: int = 100,
+                      seed: int = 42) -> DataFrame:
+    """-> DataFrame(id, label) with dense first-appearance labels,
+    -1 for vertices that never received one."""
+    spark = graph.edges.sparkSession
+    use_w = graph.has_weights if weights is None else bool(weights)
+
+    # incident tally view: undirected = ALL (both directions);
+    # directed uses in-adjacency like the reference (community.c:2280-2298)
+    if graph.directed:
+        inc = graph.weighted_edges() if use_w else \
+            graph.edges.select(SRC, DST).withColumn(WEIGHT, F.lit(1.0))
+    else:
+        inc = graph.sym_edges(weighted=use_w)
+        if not use_w:
+            inc = inc.withColumn(WEIGHT, F.lit(1.0))
+    inc = inc.where(F.col(SRC) != F.col(DST))  # self-label feedback excluded
+    inc = inc.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if fixed is None:
+        fixed_ids = set()
+    elif isinstance(fixed, (set, list, tuple)):
+        fixed_ids = {int(x) for x in fixed}
+    else:
+        fixed_ids = {r[0] for r in fixed.collect()}
+    fixed_col = F.col(ID).isin(fixed_ids) if fixed_ids else F.lit(False)
+
+    runner = SuperstepRunner(spark, checkpoint_every=8)
+    state0 = _labels_df(graph, initial).withColumn("fixed", fixed_col)
+    state, start, _ = runner.start(state0, params={"algo": "lpa", "seed": seed})
+
+    stable_rounds = 0
+    for step in range(start, max_iter):
+        parity = step % 2
+        tally = (inc.join(state.select(F.col(ID).alias(SRC),
+                                       F.col("label").alias("nbr_label")), SRC)
+                 .where(F.col("nbr_label").isNotNull())
+                 .groupBy(DST, "nbr_label")
+                 .agg(F.sum(WEIGHT).alias("w")))
+        win = Window.partitionBy(DST).orderBy(F.desc("w"), F.asc("nbr_label"))
+        best = (tally.withColumn("rn", F.row_number().over(win))
+                .where("rn = 1")
+                .select(F.col(DST).alias(ID), F.col("nbr_label").alias("best")))
+        updatable = ((~F.col("fixed"))
+                     & (F.pmod(F.xxhash64(ID, F.lit(seed)), F.lit(2)) == parity)
+                     & F.col("best").isNotNull())
+        new = (state.join(best, ID, "left")
+               .select(ID,
+                       F.when(updatable, F.col("best")).otherwise(F.col("label"))
+                       .alias("label"),
+                       "fixed"))
+        new = new.persist()
+        changed = (new.join(state.select(ID, F.col("label").alias("old")), ID)
+                   .where(~(F.col("label").eqNullSafe(F.col("old")))).count())
+        state = runner.advance(step, new, metrics={"changed": changed})
+        stable_rounds = stable_rounds + 1 if changed == 0 else 0
+        if stable_rounds >= 2:  # fixpoint for both parities
+            break
+    inc.unpersist()
+
+    # dense relabel by first appearance in ascending vertex id
+    # (community.c:2323-2342); unlabeled -> -1
+    firsts = (state.where(F.col("label").isNotNull())
+              .groupBy("label").agg(F.min(ID).alias("first_id")))
+    mapping = firsts.select(
+        "label",
+        (F.dense_rank().over(Window.orderBy("first_id")) - 1)
+        .cast("long").alias("new_label"))
+    out = (state.join(F.broadcast(mapping), "label", "left")
+           .select(ID, F.coalesce("new_label", F.lit(-1)).alias("label")))
+    return out
+
+
+def modularity(graph: Graph, membership: DataFrame,
+               weights: bool | None = None) -> float:
+    """Newman modularity Q = sum_c (e_c/m - (K_c/2m)^2)
+    (igraph_modularity, /root/reference/src/community.c:875-945).
+
+    ``membership``: DataFrame(id, label).  Directions are ignored (the
+    reference treats the graph as undirected for modularity).
+    """
+    use_w = graph.has_weights if weights is None else bool(weights)
+    e = graph.weighted_edges() if use_w else \
+        graph.edges.select(SRC, DST).withColumn(WEIGHT, F.lit(1.0))
+    mem = membership.select(F.col(membership.columns[0]).alias(ID),
+                            F.col(membership.columns[1]).alias("label"))
+    j = (e.join(mem.select(F.col(ID).alias(SRC), F.col("label").alias("cs")), SRC)
+         .join(mem.select(F.col(ID).alias(DST), F.col("label").alias("cd")), DST))
+    m_total = e.agg(F.sum(WEIGHT)).first()[0]
+    if not m_total:
+        return float("nan")
+    intra = (j.where(F.col("cs") == F.col("cd"))
+             .groupBy("cs").agg(F.sum(WEIGHT).alias("e_c")))
+    k_half = (j.select(F.col("cs").alias("c"), F.col(WEIGHT).alias("w"))
+              .unionByName(j.select(F.col("cd").alias("c"), F.col(WEIGHT).alias("w")))
+              .groupBy("c").agg(F.sum("w").alias("k_c")))
+    parts = (k_half.join(intra.withColumnRenamed("cs", "c"), "c", "left")
+             .select(F.coalesce("e_c", F.lit(0.0)).alias("e_c"), "k_c"))
+    row = parts.agg(
+        F.sum(F.col("e_c") / m_total
+              - (F.col("k_c") / (2.0 * m_total)) ** 2).alias("q")).first()
+    return float(row.q)

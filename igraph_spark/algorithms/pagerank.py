@@ -1,0 +1,213 @@
+"""PageRank via BSP power iteration over DataFrames.
+
+Semantic parity target: the igraph matvec kernel
+(/root/reference/src/centrality.c:913-1035) that all three reference
+backends (power / ARPACK / PRPACK) apply, with its exact conventions:
+
+  * dangling vertices (out-degree 0) contribute their **whole** mass to
+    the teleport pool; non-dangling contribute ``p*(1-damping)``
+    (centrality.c:926-939),
+  * unweighted out-degree excludes self-loops while the adjacency
+    retains them (centrality.c:1414-1417); weighted out-strength sums
+    *all* incident edge weights including loops, with negative weights
+    clamped to 0 (centrality.c:1447-1462),
+  * undirected graphs use ALL mode — each edge carries mass both ways,
+    a self-loop twice (centrality.c:1389),
+  * the reset vector is validated non-negative / sum>0 and normalized
+    to 1 (centrality.c:1397-1406),
+  * empty graph or all-zero weights => every score is 1/n
+    (centrality.c:1340-1377),
+  * the converged vector is normalized by its sum (centrality.c:1494-1509).
+
+Execution shape (SURVEY.md §2.0/§4): the stochastic link table
+``nw = w/outdeg(src)`` is folded in **once** before the loop, so each
+superstep is exactly one equi-join (state × links) + one hash
+aggregation on ``dst``.  The dangling/teleport mass is a one-row
+aggregate **broadcast-joined into the same plan** — no per-superstep
+driver round-trip, no materialized teleport edges (§4 row 10).  The
+driver only acts every ``check_every`` supersteps to evaluate the
+convergence delta and truncate lineage (localCheckpoint / durable
+checkpoint manifest via SuperstepRunner) — supersteps in between chain
+lazily into one Catalyst plan, which both cuts BSP barriers at scale
+and keeps test latency sane.
+
+Convergence: L-inf delta over a ``check_every``-step window < tol.
+With damping d the window delta bounds the distance to the fixpoint by
+~delta/(1-d); default tol 1e-10 leaves >3 orders of headroom for the
+north-rule allclose(1e-6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from igraph_spark.graph import Graph, SRC, DST, WEIGHT, ID
+from igraph_spark.checkpointing import SuperstepRunner
+
+
+def _resolve_reset(graph: Graph, reset) -> DataFrame | None:
+    """Normalize a reset spec (dict id->mass | DataFrame(id, reset)) to
+    a DataFrame(id, reset) summing to 1 (centrality.c:1397-1406)."""
+    if reset is None:
+        return None
+    spark = graph.edges.sparkSession
+    if isinstance(reset, dict):
+        rdf = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in reset.items()], "id long, reset double")
+    else:
+        rdf = reset.select(F.col(reset.columns[0]).cast("long").alias(ID),
+                           F.col(reset.columns[1]).cast("double").alias("reset"))
+    row = rdf.agg(F.min("reset").alias("mn"), F.sum("reset").alias("s")).first()
+    if row.mn is not None and row.mn < 0:
+        raise ValueError("reset vector must not contain negative elements")
+    if not row.s or row.s == 0:
+        raise ValueError("sum of reset vector must not be zero")
+    return rdf.select(ID, (F.col("reset") / F.lit(float(row.s))).alias("reset"))
+
+
+def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
+                          weights: bool | None = None, tol: float = 1e-10,
+                          max_iter: int = 300, check_every: int = 10,
+                          num_partitions: int | None = None,
+                          run_dir: str | None = None) -> DataFrame:
+    """Personalized PageRank -> DataFrame(id, pagerank).
+
+    ``weights``: None = use the graph's weight column when present,
+    False = ignore it, True = require it.
+    """
+    spark = graph.edges.sparkSession
+    n = graph.vcount()
+    if n == 0:
+        raise ValueError("empty vertex set")
+    uniform = F.lit(1.0 / n)
+
+    use_w = graph.has_weights if weights is None else bool(weights)
+    if use_w and not graph.has_weights:
+        raise ValueError("weights=True but the graph has no weight column")
+
+    reset_df = _resolve_reset(graph, reset)
+
+    def _all_uniform() -> DataFrame:
+        return graph.vertices.select(ID, uniform.alias("pagerank"))
+
+    if graph.ecount() == 0:  # special case, centrality.c:1340-1349
+        return _all_uniform()
+
+    # traversal view: directed uses stored orientation; undirected is the
+    # symmetrized ALL view (self-loop appears twice, Graph.sym_edges)
+    if graph.directed:
+        trav = graph.weighted_edges() if use_w else \
+            graph.edges.select(SRC, DST).withColumn(WEIGHT, F.lit(1.0))
+    else:
+        trav = graph.sym_edges(weighted=use_w)
+        if not use_w:
+            trav = trav.withColumn(WEIGHT, F.lit(1.0))
+
+    if use_w:
+        zw = trav.agg(F.min(WEIGHT).alias("mn"), F.max(WEIGHT).alias("mx")).first()
+        if zw.mn == 0 and zw.mx == 0:  # all-zero weights, centrality.c:1367-1377
+            return _all_uniform()
+        # out-strength sums every incident weight incl. loops, negatives
+        # clamped to 0 (centrality.c:1447-1462); the raw weight still
+        # multiplies the flow (the kernel reads the original vector)
+        outdeg = (trav.groupBy(SRC)
+                  .agg(F.sum(F.greatest(WEIGHT, F.lit(0.0))).alias("outdeg")))
+    else:
+        # unweighted out-degree with loops=0 (centrality.c:1414-1415)
+        outdeg = (trav.where(F.col(SRC) != F.col(DST))
+                  .groupBy(SRC).agg(F.count("*").cast("double").alias("outdeg")))
+
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # stochastic link table, partitioned once and reused every superstep.
+    # Rows whose source has zero out-degree carry no usable mass (the
+    # reference's tmp value is declared unused, centrality.c:926-928).
+    links = (trav.join(outdeg, SRC)
+             .where(F.col("outdeg") != 0)
+             .select(F.col(DST), F.col(SRC),
+                     (F.col(WEIGHT) / F.col("outdeg")).alias("nw"))
+             .repartition(num_partitions, SRC)
+             .persist())
+
+    # vertex info: dangling flag + reset mass
+    vinfo = graph.vertices.select(ID).join(
+        outdeg.withColumnRenamed(SRC, ID), ID, "left")
+    vinfo = vinfo.withColumn(
+        "dangling", F.coalesce(F.col("outdeg"), F.lit(0.0)) == 0.0).drop("outdeg")
+    if reset_df is not None:
+        vinfo = (vinfo.join(reset_df, ID, "left")
+                 .withColumn("reset", F.coalesce("reset", F.lit(0.0))))
+    else:
+        vinfo = vinfo.withColumn("reset", uniform)
+    vinfo = vinfo.repartition(num_partitions, ID).persist()
+    vinfo.count()
+
+    d, fact = float(damping), 1.0 - float(damping)
+    mass = F.when(F.col("dangling"), F.col("pr")).otherwise(F.col("pr") * fact)
+
+    runner = SuperstepRunner(spark, run_dir=run_dir,
+                             checkpoint_every=check_every)
+    state0 = vinfo.select(ID, uniform.alias("pr"))
+    state, start, _ = runner.start(
+        state0, params={"algo": "pagerank", "damping": d, "tol": tol,
+                        "weighted": use_w, "n": n})
+
+    # jump-pool mass + total of the starting state (scalars to the
+    # driver once per superstep — the only data that ever crosses back,
+    # SURVEY §3.2).  ``total`` renormalizes each update: for ordinary
+    # graphs it is 1.0 exactly, but igraph's loop convention (loops in
+    # the adjacency, not in the unweighted out-degree) makes the raw
+    # operator non-stochastic, so power iteration needs per-step
+    # rescaling to converge (as any eigensolver does).
+    row0 = (state.join(vinfo, ID)
+            .agg(F.sum(mass).alias("sumfrom"), F.sum("pr").alias("total"))
+            .first())
+    sumfrom, total = float(row0.sumfrom), float(row0.total)
+
+    converged = False
+    for step in range(start, max_iter):
+        contrib = (links.join(state, links[SRC] == state[ID])
+                   .groupBy(DST)
+                   .agg(F.sum(F.col("pr") * F.col("nw")).alias("flow")))
+        new = (vinfo.join(contrib, vinfo[ID] == contrib[DST], "left")
+               .select(vinfo[ID],
+                       ((F.lit(d) * F.coalesce("flow", F.lit(0.0))
+                         + F.lit(sumfrom) * F.col("reset"))
+                        / F.lit(total)).alias("pr")))
+        new = new.persist()
+        # ONE action per superstep: materializes the new state and fuses
+        # the convergence delta with the next round's scalars
+        row = (new.join(state.select(ID, F.col("pr").alias("pr_old")), ID)
+               .join(vinfo.select(ID, "dangling"), ID)
+               .agg(F.max(F.abs(F.col("pr") - F.col("pr_old"))).alias("delta"),
+                    F.sum(mass).alias("sumfrom"),
+                    F.sum("pr").alias("total"))
+               .first())
+        delta, sumfrom, total = (float(row.delta), float(row.sumfrom),
+                                 float(row.total))
+        state = runner.advance(step, new, metrics={"delta": delta})
+        if delta < tol:
+            converged = True
+            break
+
+    # final normalization by the vector sum (centrality.c:1494-1509)
+    total = state.agg(F.sum("pr")).first()[0]
+    result = state.select(ID, (F.col("pr") / F.lit(float(total))).alias("pagerank"))
+    runner.finish(result, completed=converged)
+    links.unpersist()
+    vinfo.unpersist()
+    return result
+
+
+def pagerank(graph: Graph, damping: float = 0.85, weights: bool | None = None,
+             tol: float = 1e-10, max_iter: int = 300, check_every: int = 10,
+             num_partitions: int | None = None,
+             run_dir: str | None = None) -> DataFrame:
+    """Uniform-reset PageRank (igraph_pagerank, centrality.c:1116-1124)
+    -> DataFrame(id, pagerank)."""
+    return personalized_pagerank(graph, damping=damping, reset=None,
+                                 weights=weights, tol=tol, max_iter=max_iter,
+                                 check_every=check_every,
+                                 num_partitions=num_partitions,
+                                 run_dir=run_dir)

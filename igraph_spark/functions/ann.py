@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers:
+
+  * brute-force cosine top-k — the exactness baseline; one cross/block
+    join + window top-k.  Dot products stay JVM-side via
+    ``F.zip_with`` + ``F.aggregate`` (no Python).
+  * LSH-bucketed (random-hyperplane signatures) — the scale path:
+    candidates only within matching sign-pattern buckets, then exact
+    cosine re-rank.  Hyperplanes are deterministic (hash-derived), so
+    results are reproducible at any parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _norm(col) -> F.Column:
+    return F.sqrt(F.aggregate(col, F.lit(0.0),
+                              lambda a, x: a + x.cast("double") * x))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk_bruteforce(embeddings: DataFrame, queries: DataFrame,
+                           k: int = 10, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query ->
+    (query_id, neighbor_id, cosine, rank).
+
+    ``queries`` rows are broadcast against the embedding table — at
+    cluster scale this is the classic "small probe set vs huge corpus"
+    shape; for all-pairs use the LSH variant.
+    """
+    base = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                             F.col(vec_col).alias("v"),
+                             _norm(F.col(vec_col)).alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       _norm(F.col(vec_col)).alias("nq"))
+    scored = (base.join(F.broadcast(q),
+                        F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      (_dot(F.col("v"), F.col("qv"))
+                       / (F.col("nv") * F.col("nq"))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes via sha256 counters
+    (Box-Muller on hash-uniform pairs)."""
+    planes = []
+    for p in range(n_planes):
+        vec = []
+        for d in range(0, dim, 2):
+            h = hashlib.sha256(f"{seed}:{p}:{d}".encode()).digest()
+            u1 = (int.from_bytes(h[:8], "big") + 1) / (2.0 ** 64 + 2)
+            u2 = int.from_bytes(h[8:16], "big") / (2.0 ** 64)
+            r = math.sqrt(-2.0 * math.log(u1))
+            vec.append(r * math.cos(2 * math.pi * u2))
+            if d + 1 < dim:
+                vec.append(r * math.sin(2 * math.pi * u2))
+        planes.append(vec[:dim])
+    return planes
+
+
+def rhp_signature(embeddings: DataFrame, dim: int, n_planes: int = 16,
+                  seed: int = 42, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) signature ->
+    (vec_id, bucket) where bucket packs the n_planes sign bits."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for i, pl in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in pl])
+        dot = _dot(F.col(vec_col), plane)
+        sig = sig.bitwiseOR(
+            F.when(dot >= 0, F.lit(1).cast("long") << i)
+             .otherwise(F.lit(0).cast("long")))
+    return embeddings.select(F.col(id_col).alias("vec_id"),
+                             sig.alias("bucket"))
+
+
+def cosine_topk_lsh(embeddings: DataFrame, dim: int, k: int = 10,
+                    n_planes: int = 12, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Approximate all-pairs top-k: candidates share an RHP bucket,
+    exact cosine re-rank inside buckets ->
+    (query_id, neighbor_id, cosine, rank).  Recall grows with fewer
+    planes (bigger buckets); scale knob is n_planes."""
+    sigs = rhp_signature(embeddings, dim, n_planes, seed, id_col, vec_col)
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("v"),
+                             _norm(F.col(vec_col)).alias("nv")) \
+                     .join(sigs, "vec_id")
+    a = base.select(F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"), F.col("nv").alias("nq"),
+                    "bucket")
+    b = base.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("v"), F.col("nv"), "bucket")
+    scored = (a.join(b, "bucket")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      (_dot(F.col("qv"), F.col("v"))
+                       / (F.col("nq") * F.col("nv"))).alias("cosine"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.max("cosine").alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

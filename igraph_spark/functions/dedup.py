@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all deterministic and shuffle-conscious:
+
+  * exact            — sha256 hash groupBy (one shuffle on the digest)
+  * minhash + LSH    — shingle -> k minhashes -> b bands -> bucket
+                       join; candidate pairs verified by true Jaccard.
+                       Near-dup at ~n log n instead of n^2.
+  * simhash          — 64-bit weighted-token signature; near-dup =
+                       small Hamming distance within same band.
+  * n-gram Jaccard   — exact Jaccard on character n-gram sets via an
+                       inverted-index join (bounded by shared-gram
+                       pairs; use after LSH at scale).
+
+Minhash permutations are the classic universal-hash family
+``h_i(x) = (a_i*x + b_i) mod p`` with constants derived from
+xxhash64(seed, i) — deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def exact_duplicates(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Exact dedup by content digest -> one row per duplicated digest:
+    (content_sha, n_copies, keep_doc_id) with keep = min doc_id."""
+    return (docs
+            .select("doc_id", F.sha2(F.col(col), 256).alias("content_sha"))
+            .groupBy("content_sha")
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .where(F.col("n_copies") > 1))
+
+
+def dedup_exact(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Return the deduplicated table (first doc_id per digest kept)."""
+    keep = (docs.select("doc_id", F.sha2(F.col(col), 256).alias("sha"))
+            .groupBy("sha").agg(F.min("doc_id").alias("doc_id")))
+    return docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+
+def _shingles(col: str, n: int = 5) -> F.Column:
+    """Character n-gram shingle hashes (distinct) as array<long>."""
+    txt = F.lower(F.regexp_replace(F.col(col), r"\s+", " "))
+    ln = F.length(txt)
+    idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(txt.substr(i, F.lit(n)))))
+
+
+def minhash_signatures(docs: DataFrame, col: str = "text",
+                       num_hashes: int = 32, shingle: int = 5,
+                       seed: int = 42) -> DataFrame:
+    """-> (doc_id, sig: array<long>[num_hashes]).
+
+    min over shingle hashes of (a_i*x + b_i) mod M61, with (a_i, b_i)
+    fixed odd constants from xxhash64(seed, i).
+    """
+    consts = []
+    for i in range(num_hashes):
+        # driver-side constant derivation (deterministic, no RNG state)
+        import hashlib
+        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        a = (int.from_bytes(h[:8], "big") | 1) % MERSENNE61
+        b = int.from_bytes(h[8:16], "big") % MERSENNE61
+        consts.append((a, b))
+    sh = _shingles(col, shingle).alias("sh")
+    base = docs.select("doc_id", sh)
+    sig = F.array(*[
+        F.array_min(F.transform(
+            F.col("sh"),
+            lambda x, a=a, b=b: F.pmod(
+                F.pmod(F.lit(a) * F.pmod(x, F.lit(MERSENNE61)), F.lit(MERSENNE61))
+                + F.lit(b), F.lit(MERSENNE61))))
+        for a, b in consts])
+    return base.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, col: str = "text",
+                      num_hashes: int = 32, bands: int = 8,
+                      shingle: int = 5, threshold: float = 0.6,
+                      seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs via banded LSH -> (a, b, jaccard_est).
+
+    Bands of r = num_hashes/bands rows; docs sharing any band bucket
+    become candidates; the estimate is the fraction of agreeing
+    minhashes.  Pairs below ``threshold`` are dropped.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, col, num_hashes, shingle, seed).persist()
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)])
+                     .alias("bucket"))
+            for bi in range(bands)])).alias("bk"))
+    buckets = buckets.select("doc_id", "bk.band", "bk.bucket")
+    cand = (buckets.alias("x").join(
+                buckets.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("a"),
+                    F.col("y.doc_id").alias("b"))
+            .distinct())
+    est = (cand
+           .join(sigs.select(F.col("doc_id").alias("a"),
+                             F.col("sig").alias("sa")), "a")
+           .join(sigs.select(F.col("doc_id").alias("b"),
+                             F.col("sig").alias("sb")), "b")
+           .select("a", "b",
+                   (F.size(F.filter(
+                       F.zip_with("sa", "sb",
+                                  lambda x, y: (x == y).cast("int")),
+                       lambda z: z == 1)) / F.lit(float(num_hashes)))
+                   .alias("jaccard_est")))
+    return est.where(F.col("jaccard_est") >= threshold)
+
+
+def simhash(docs: DataFrame, col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens -> (doc_id, simhash).
+
+    Per bit: sum of +/-1 votes from each token's xxhash64; bit set when
+    the vote is positive.  Pure Catalyst: aggregate over the token
+    array with bitwise ops.
+    """
+    words = F.filter(F.split(F.lower(F.trim(F.col(col))), r"\s+"),
+                     lambda w: F.length(w) > 0)
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bits = []
+    for bit in range(64):
+        vote = F.aggregate(
+            hashes, F.lit(0).cast("long"),
+            lambda acc, h, b=bit: acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        bits.append(F.when(vote > 0, F.lit(1).cast("long") << bit)
+                    .otherwise(F.lit(0).cast("long")))
+    sh = bits[0]
+    for b in bits[1:]:
+        sh = sh.bitwiseOR(b)
+    return docs.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash -> (a, b, hamming).
+
+    Blocking: 4 x 16-bit bands (any pair within Hamming<=3 of a 64-bit
+    hash agrees exactly on at least one band — pigeonhole), then exact
+    Hamming verify via bit_count(xor).
+    """
+    sh = simhash(docs, col).persist()
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright("simhash", i * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for i in range(4)])).alias("bk"))
+    bands = bands.select("doc_id", "simhash", "bk.band", "bk.key")
+    cand = (bands.alias("x").join(
+                bands.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.key") == F.col("y.key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("a"),
+                    F.col("x.simhash").alias("ha"),
+                    F.col("y.doc_id").alias("b"),
+                    F.col("y.simhash").alias("hb"))
+            .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.select("a", "b", ham.cast("long").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, col: str = "text", n: int = 5,
+                        min_jaccard: float = 0.8,
+                        min_common: int = 5) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index join ->
+    (a, b, jaccard).  Quadratic in docs sharing a gram — use behind
+    LSH blocking at scale (this is the verify stage)."""
+    grams = (docs.select("doc_id", F.explode(_shingles(col, n)).alias("g"))
+             .distinct().persist())
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    common = (grams.alias("x").join(
+                  grams.alias("y"),
+                  (F.col("x.g") == F.col("y.g"))
+                  & (F.col("x.doc_id") < F.col("y.doc_id")))
+              .groupBy(F.col("x.doc_id").alias("a"),
+                       F.col("y.doc_id").alias("b"))
+              .agg(F.count("*").alias("common"))
+              .where(F.col("common") >= min_common))
+    return (common
+            .join(sizes.select(F.col("doc_id").alias("a"),
+                               F.col("sz").alias("sa")), "a")
+            .join(sizes.select(F.col("doc_id").alias("b"),
+                               F.col("sz").alias("sb")), "b")
+            .select("a", "b",
+                    (F.col("common")
+                     / (F.col("sa") + F.col("sb") - F.col("common")))
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= min_jaccard))

@@ -1,0 +1,160 @@
+"""Deterministic graph generators (SURVEY.md §2.2).
+
+Spark-native analogs of igraph's constructors
+(/root/reference/src/structure_generators.c, src/games.c): built from
+``spark.range`` + column arithmetic (scale-out friendly) or literal
+fixtures (test scale).  All randomness is hash-based and seeded —
+``xxhash64(seed, i)`` — so every generator is exactly reproducible at
+any partitioning/parallelism (no RNG state, unlike igraph's MT19937).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from igraph_spark.graph import Graph
+
+# Zachary karate club, 34 vertices / 78 undirected edges — public data
+# (W. W. Zachary 1977), same fixture as igraph_famous("Zachary")
+# (/root/reference/src/structure_generators.c:1922-1935).
+KARATE_EDGES = [
+    (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (0, 8),
+    (0, 10), (0, 11), (0, 12), (0, 13), (0, 17), (0, 19), (0, 21), (0, 31),
+    (1, 2), (1, 3), (1, 7), (1, 13), (1, 17), (1, 19), (1, 21), (1, 30),
+    (2, 3), (2, 7), (2, 27), (2, 28), (2, 32), (2, 9), (2, 8), (2, 13),
+    (3, 7), (3, 12), (3, 13), (4, 6), (4, 10), (5, 6), (5, 10), (5, 16),
+    (6, 16), (8, 30), (8, 32), (8, 33), (9, 33), (13, 33), (14, 32), (14, 33),
+    (15, 32), (15, 33), (18, 32), (18, 33), (19, 33), (20, 32), (20, 33),
+    (22, 32), (22, 33), (23, 25), (23, 27), (23, 32), (23, 33), (23, 29),
+    (24, 25), (24, 27), (24, 31), (25, 31), (26, 29), (26, 33), (27, 33),
+    (28, 31), (28, 33), (29, 32), (29, 33), (30, 32), (30, 33), (31, 32),
+    (31, 33), (32, 33),
+]
+
+
+def famous(spark: SparkSession, name: str) -> Graph:
+    """igraph_famous analog; only "Zachary" is vendored (the parity
+    fixture used by the reference's own LPA test)."""
+    if name.lower() != "zachary":
+        raise ValueError(f"unknown famous graph {name!r}")
+    return Graph.from_edge_list(spark, KARATE_EDGES, n=34, directed=False)
+
+
+def ring(spark: SparkSession, n: int, directed: bool = False) -> Graph:
+    """igraph_ring (structure_generators.c:869): cycle 0-1-...-(n-1)-0."""
+    e = spark.range(n).select(
+        F.col("id").alias("src"),
+        ((F.col("id") + 1) % n).alias("dst"))
+    return Graph(e, spark.range(n).toDF("id"), directed=directed)
+
+
+def path(spark: SparkSession, n: int, directed: bool = False) -> Graph:
+    """1-D lattice (igraph_lattice, structure_generators.c:743)."""
+    e = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    return Graph(e, spark.range(n).toDF("id"), directed=directed)
+
+
+def star(spark: SparkSession, n: int, mode: str = "undirected") -> Graph:
+    """igraph_star (structure_generators.c:651): center 0, leaves 1..n-1.
+    mode: 'out' (center->leaf), 'in' (leaf->center), 'undirected'."""
+    leaves = spark.range(1, n)
+    if mode == "in":
+        e = leaves.select(F.col("id").alias("src"), F.lit(0).cast("long").alias("dst"))
+    else:
+        e = leaves.select(F.lit(0).cast("long").alias("src"), F.col("id").alias("dst"))
+    return Graph(e, spark.range(n).toDF("id"), directed=(mode != "undirected"))
+
+
+def full(spark: SparkSession, n: int, directed: bool = False,
+         loops: bool = False) -> Graph:
+    """igraph_full (structure_generators.c:1003).  O(n^2) — test scale."""
+    a = spark.range(n).toDF("src")
+    b = spark.range(n).toDF("dst")
+    e = a.crossJoin(b)
+    if directed:
+        e = e.where("src != dst") if not loops else e
+    else:
+        e = e.where("src < dst") if not loops else e.where("src <= dst")
+    return Graph(e, spark.range(n).toDF("id"), directed=directed)
+
+
+def tree(spark: SparkSession, n: int, children: int = 2,
+         directed: bool = False) -> Graph:
+    """igraph_tree (structure_generators.c:922): vertex i's parent is
+    (i-1) div children."""
+    e = spark.range(1, n).select(
+        ((F.col("id") - 1) / children).cast("long").alias("src"),
+        F.col("id").alias("dst"))
+    return Graph(e, spark.range(n).toDF("id"), directed=directed)
+
+
+def _u01(col: F.Column, seed: int, salt: int) -> F.Column:
+    """Deterministic uniform [0,1) from a 64-bit column via xxhash64."""
+    h = F.xxhash64(col, F.lit(seed), F.lit(salt))
+    # map signed 64-bit hash to [0, 1)
+    return (h.cast("double") / F.lit(2.0 ** 64)) + F.lit(0.5)
+
+
+def gnm(spark: SparkSession, n: int, m: int, seed: int = 42,
+        directed: bool = False, simple: bool = True) -> Graph:
+    """Erdos-Renyi G(n,m) analog (games.c:665) via seeded hash sampling.
+
+    Deterministic at any parallelism: edge i's endpoints are
+    xxhash64(seed, i) mod n.  With ``simple`` the sample is oversized,
+    loops/duplicates dropped, and the m lexicographically-smallest
+    candidate ids kept (stable, order-independent).
+    """
+    over = int(m * 1.25) + 16 if simple else m
+    cand = spark.range(over).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(0)), F.lit(n)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(1)), F.lit(n)).alias("dst"))
+    if simple:
+        cand = cand.where("src != dst")
+        if not directed:
+            cand = cand.select("id", F.least("src", "dst").alias("src"),
+                               F.greatest("src", "dst").alias("dst"))
+        cand = (cand.groupBy("src", "dst").agg(F.min("id").alias("id"))
+                    .orderBy("id").limit(m))
+    e = cand.select("src", "dst")
+    return Graph(e, spark.range(n).toDF("id"), directed=directed,
+                 _canonical=not directed)
+
+
+def zipf_skew(spark: SparkSession, n: int, m: int, alpha: float = 2.0,
+              seed: int = 42, directed: bool = True) -> Graph:
+    """Skewed (hub-heavy) graph, the scale/skew analog of the
+    Barabasi bench graph (examples/benchmarks/igraph_transitivity.c:46-48):
+    src uniform, dst ~ Zipf-ish via u^alpha concentration onto low ids.
+    Exercises hub salting / AQE skew handling.
+    """
+    base = spark.range(m)
+    e = base.select(
+        F.pmod(F.xxhash64("id", F.lit(seed), F.lit(0)), F.lit(n)).alias("src"),
+        F.floor(F.pow(_u01(F.col("id"), seed, 1), F.lit(alpha)) * n)
+         .cast("long").alias("dst"))
+    return Graph(e, spark.range(n).toDF("id"), directed=directed)
+
+
+def sbm(spark: SparkSession, n: int, blocks: int, p_in: float, p_out: float,
+        seed: int = 42) -> Graph:
+    """Stochastic block model (reference /root/reference/src/sbm.c:71) via
+    hash-thresholded pair sampling.  O(n^2) candidate space — test scale
+    only (community-detection fixtures)."""
+    a = spark.range(n).toDF("src")
+    b = spark.range(n).toDF("dst")
+    pairs = a.crossJoin(b).where("src < dst")
+    u = _u01(F.col("src") * n + F.col("dst"), seed, 7)
+    same = (F.col("src") % blocks) == (F.col("dst") % blocks)
+    e = pairs.where(F.when(same, u < p_in).otherwise(u < p_out))
+    return Graph(e, spark.range(n).toDF("id"), directed=False, _canonical=True)
+
+
+def disjoint_graphs(spark: SparkSession, graphs: list[Graph]) -> Graph:
+    """igraph_disjoint_union (operators.c:71): shift ids, concat."""
+    from igraph_spark.operators.setops import disjoint_union
+    g = graphs[0]
+    for h in graphs[1:]:
+        g = disjoint_union(g, h)
+    return g

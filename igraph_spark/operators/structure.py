@@ -1,0 +1,244 @@
+"""Structural scalar measures and predicates (SURVEY.md §2.3, §2.5).
+
+Each maps an igraph routine (file:line cited per function) onto a
+short declarative DataFrame program — Catalyst handles pushdown,
+broadcast selection and partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from igraph_spark.graph import Graph, SRC, DST, WEIGHT, ID
+
+
+def density(graph: Graph, loops: bool = False) -> float:
+    """igraph_density (/root/reference/src/structural_properties.c:2845):
+    m / possible-edges.  Multi-edges make the result meaningless, as in
+    the reference (documented there)."""
+    n = graph.vcount()
+    m = graph.ecount()
+    if n == 0:
+        return float("nan")
+    if loops:
+        possible = n * n if graph.directed else n * (n + 1) / 2
+    else:
+        possible = n * (n - 1) if graph.directed else n * (n - 1) / 2
+    return float("nan") if possible == 0 else m / float(possible)
+
+
+def reciprocity(graph: Graph, ignore_loops: bool = True) -> float:
+    """igraph_reciprocity (structural_properties.c:2417), default mode:
+    fraction of non-loop directed edge pairs (u,v) with both u->v and
+    v->u present (computed over the distinct simple edge set)."""
+    if not graph.directed:
+        return 1.0
+    e = graph.edges.select(SRC, DST).distinct()
+    if ignore_loops:
+        e = e.where(F.col(SRC) != F.col(DST))
+    total = e.count()
+    if total == 0:
+        return float("nan")
+    rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    mutual = e.intersect(rev).count()
+    return mutual / float(total)
+
+
+def is_mutual(graph: Graph) -> DataFrame:
+    """Per-edge mutuality flag (igraph_is_mutual,
+    structural_properties.c:5684) -> edges + boolean ``mutual``
+    (loops are mutual by convention)."""
+    e = graph.edges
+    rev = (e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+           .distinct().withColumn("mutual", F.lit(True)))
+    return (e.join(rev, [SRC, DST], "left")
+            .withColumn("mutual",
+                        F.coalesce("mutual", F.col(SRC) == F.col(DST))))
+
+
+def count_multiple(graph: Graph) -> DataFrame:
+    """Edge multiplicities (igraph_count_multiple,
+    structural_properties.c:3695) -> DataFrame(src, dst, multiplicity)."""
+    return (graph.edges.groupBy(SRC, DST)
+            .agg(F.count("*").alias("multiplicity")))
+
+
+def is_simple(graph: Graph) -> bool:
+    """igraph_is_simple (structural_properties.c:3475): no loops, no
+    multi-edges."""
+    e = graph.edges
+    loops = e.where(F.col(SRC) == F.col(DST)).limit(1).count()
+    if loops:
+        return False
+    multi = (e.groupBy(SRC, DST).agg(F.count("*").alias("c"))
+             .where("c > 1").limit(1).count())
+    return multi == 0
+
+
+def has_loops(graph: Graph) -> bool:
+    return graph.edges.where(F.col(SRC) == F.col(DST)).limit(1).count() > 0
+
+
+def is_dag(graph: Graph, max_iter: int = 100000) -> bool:
+    """igraph_is_dag (structural_properties.c:3396): iterative
+    zero-in-degree peel; a DAG empties, a cycle leaves a residue."""
+    if not graph.directed:
+        return graph.ecount() == 0
+    return topological_order(graph) is not None
+
+
+def topological_order(graph: Graph, max_iter: int = 100000) -> DataFrame | None:
+    """igraph_topological_sorting (structural_properties.c:3318):
+    BSP Kahn peel.  Returns DataFrame(id, layer) where ``layer`` is the
+    peel round (a valid topo order sorted by (layer, id)), or None if
+    the graph has a cycle."""
+    e = (graph.edges.select(SRC, DST)
+         .where(F.col(SRC) != F.col(DST)).distinct().persist())
+    remaining = graph.vertices.select(ID).persist()
+    layers: list[DataFrame] = []
+    layer = 0
+    while True:
+        n_rem = remaining.count()
+        if n_rem == 0:
+            break
+        e_rem = (e.join(remaining.withColumnRenamed(ID, SRC), SRC, "left_semi")
+                 .join(remaining.withColumnRenamed(ID, DST), DST, "left_semi"))
+        has_in = e_rem.select(F.col(DST).alias(ID)).distinct()
+        zero_in = remaining.join(has_in, ID, "left_anti").persist()
+        n_zero = zero_in.count()
+        if n_zero == 0:  # cycle
+            e.unpersist(); remaining.unpersist()
+            return None
+        layers.append(zero_in.select(ID, F.lit(layer).cast("long").alias("layer")))
+        nxt = remaining.join(zero_in, ID, "left_anti").persist()
+        remaining.unpersist()
+        remaining = nxt
+        layer += 1
+        if layer > max_iter:
+            raise RuntimeError("topological_order: too many layers")
+    e.unpersist()
+    out = layers[0] if layers else \
+        graph.edges.sparkSession.createDataFrame([], "id long, layer long")
+    for p in layers[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def get_stochastic(graph: Graph, column_wise: bool = False) -> DataFrame:
+    """Row- (or column-) normalized weighted adjacency
+    (igraph_get_stochastic, /root/reference/src/conversion.c:741) ->
+    DataFrame(src, dst, prob).  Window sum partitioned by the
+    normalizing endpoint — no self-join needed."""
+    from pyspark.sql import Window
+    e = graph.weighted_edges()
+    key = DST if column_wise else SRC
+    w = Window.partitionBy(key)
+    return e.select(SRC, DST,
+                    (F.col(WEIGHT) / F.sum(WEIGHT).over(w)).alias("prob"))
+
+
+def linegraph(graph: Graph) -> DataFrame:
+    """igraph_linegraph (structural_properties.c:4029): vertices are
+    edges of g; for directed g, edge (e1, e2) iff e1.dst == e2.src.
+    Edge ids are assigned deterministically by (src, dst) rank.
+    Returns DataFrame(src, dst) of line-graph edges."""
+    from pyspark.sql import Window
+    e = (graph.edges.select(SRC, DST)
+         .withColumn("eid", F.row_number().over(
+             Window.orderBy(SRC, DST)).cast("long") - 1))
+    if graph.directed:
+        a = e.select(F.col("eid").alias("e1"), F.col(DST).alias("mid"))
+        b = e.select(F.col("eid").alias("e2"), F.col(SRC).alias("mid"))
+        out = a.join(b, "mid").where(F.col("e1") != F.col("e2"))
+    else:
+        # undirected: edges sharing any endpoint
+        ends = (e.select("eid", F.col(SRC).alias("x"))
+                .unionByName(e.select("eid", F.col(DST).alias("x"))))
+        a = ends.withColumnRenamed("eid", "e1")
+        b = ends.withColumnRenamed("eid", "e2")
+        out = (a.join(b, "x").where(F.col("e1") < F.col("e2")).distinct())
+    return out.select(F.col("e1").alias(SRC), F.col("e2").alias(DST))
+
+
+def contract_vertices(graph: Graph, mapping: DataFrame) -> Graph:
+    """igraph_contract_vertices (structural_properties.c:6306): quotient
+    graph under ``mapping`` DataFrame(id, group)."""
+    m = mapping.select(F.col(mapping.columns[0]).alias(ID),
+                       F.col(mapping.columns[1]).alias("g"))
+    e = (graph.edges
+         .join(m.select(F.col(ID).alias(SRC), F.col("g").alias("gs")), SRC)
+         .join(m.select(F.col(ID).alias(DST), F.col("g").alias("gd")), DST)
+         .select(F.col("gs").alias(SRC), F.col("gd").alias(DST),
+                 *[c for c in graph.edges.columns if c not in (SRC, DST)]))
+    verts = m.select(F.col("g").alias(ID)).distinct()
+    return Graph(e, verts, graph.directed)
+
+
+def path_length_hist(graph: Graph, max_rounds: int = 10000) -> DataFrame:
+    """Histogram of finite shortest-path lengths over all (ordered)
+    vertex pairs (igraph_path_length_hist,
+    structural_properties.c:319) -> DataFrame(dist, count).
+
+    BSP multi-source BFS carrying (source, vertex) frontier pairs —
+    O(V*E) work; intended for test/moderate scale like the reference's
+    O(n*(V+E)) loop.  Undirected pairs are counted once.
+    """
+    sym = (graph.edges.select(SRC, DST) if graph.directed
+           else graph.sym_edges()).where(F.col(SRC) != F.col(DST)).distinct()
+    sym = sym.persist()
+    verts = graph.vertices.select(ID)
+    visited = verts.select(F.col(ID).alias("s"), F.col(ID).alias("v")).persist()
+    frontier = visited
+    rows = []
+    dist = 0
+    while True:
+        nxt = (frontier.join(sym, frontier["v"] == sym[SRC])
+               .select("s", F.col(DST).alias("v")).distinct()
+               .join(visited, ["s", "v"], "left_anti").persist())
+        cnt = nxt.count()
+        dist += 1
+        if cnt == 0 or dist > max_rounds:
+            break
+        rows.append((dist, cnt))
+        visited = visited.unionByName(nxt).persist()
+        frontier = nxt
+    sym.unpersist()
+    spark = graph.edges.sparkSession
+    out = spark.createDataFrame(
+        [(int(d), int(c)) for d, c in rows], "dist long, count long")
+    if not graph.directed:
+        out = out.select("dist", (F.col("count") / 2).cast("long").alias("count"))
+    return out
+
+
+def avg_nearest_neighbor_degree(graph: Graph) -> DataFrame:
+    """knn (igraph_avg_nearest_neighbor_degree,
+    structural_properties.c:5870), unweighted undirected view ->
+    DataFrame(id, knn)."""
+    sym = graph.sym_edges().where(F.col(SRC) != F.col(DST)).distinct()
+    deg = sym.groupBy(SRC).agg(F.count("*").alias("deg"))
+    j = (sym.join(deg.select(F.col(SRC).alias(DST), F.col("deg").alias("nbr_deg")),
+                  DST)
+         .groupBy(SRC).agg(F.avg("nbr_deg").alias("knn")))
+    return j.withColumnRenamed(SRC, ID)
+
+
+def assortativity_degree(graph: Graph) -> float:
+    """Degree assortativity (reference /root/reference/src/mixing.c):
+    Pearson correlation of (excess) degrees over edge endpoints, both
+    edge directions counted for undirected graphs."""
+    sym = (graph.edges.select(SRC, DST) if graph.directed
+           else graph.sym_edges()).where(F.col(SRC) != F.col(DST))
+    if graph.directed:
+        dout = sym.groupBy(SRC).agg(F.count("*").alias("d_s"))
+        din = sym.groupBy(DST).agg(F.count("*").alias("d_d"))
+        j = sym.join(dout, SRC).join(din, DST)
+        row = j.agg(F.corr("d_s", "d_d")).first()
+        return float(row[0]) if row[0] is not None else float("nan")
+    deg = sym.groupBy(SRC).agg(F.count("*").alias("deg"))
+    j = (sym.join(deg.withColumnRenamed(SRC, "a").withColumnRenamed("deg", "d_s"),
+                  sym[SRC] == F.col("a"))
+         .join(deg.withColumnRenamed(SRC, "b").withColumnRenamed("deg", "d_d"),
+               sym[DST] == F.col("b")))
+    row = j.agg(F.corr("d_s", "d_d")).first()
+    return float(row[0]) if row[0] is not None else float("nan")
