@@ -1,0 +1,150 @@
+"""Headline benchmark: prints ONE JSON line
+{"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
+
+Sections (each timed end-to-end, action included):
+
+  * pagerank_supersteps — 10 fixed supersteps of weighted PageRank on a
+    deterministic Zipf-skewed graph (hub-heavy, the BASELINE shape);
+    also reported as edges/sec/superstep, the BASELINE.json metric.
+  * wcc                 — hash-min + pointer-jump to convergence, same graph.
+  * triangles           — degree-ordered wedge join on a G(n,m) analog of
+    the reference's transitivity bench (examples/benchmarks/
+    igraph_transitivity.c).
+  * lpa                 — 6 semi-synchronous sweeps, same Zipf graph.
+  * cocitation / agg / topk — relational operators at $SPARK_GRAFT_SF_DIR.
+  * dedup_minhash / token_count / ann — documents/embeddings pipeline ops.
+
+Scale knobs via env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+BENCH_EDGES (default 5,000,000), BENCH_N (default 1,048,576).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from igraph_spark.session import get_spark  # noqa: E402
+from igraph_spark.generators import gnm, zipf_skew  # noqa: E402
+from igraph_spark.algorithms.pagerank import pagerank  # noqa: E402
+from igraph_spark.algorithms.components import connected_components  # noqa: E402
+from igraph_spark.algorithms.lpa import label_propagation  # noqa: E402
+from igraph_spark.algorithms.triangles import triangles_df  # noqa: E402
+from igraph_spark.operators import similarity  # noqa: E402
+from igraph_spark.functions import ann, dedup, text  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+M_EDGES = int(os.environ.get("BENCH_EDGES", 10_000_000))
+N_VERTS = int(os.environ.get("BENCH_N", 1 << 21))
+SUPERSTEPS = int(os.environ.get("BENCH_SUPERSTEPS", 10))
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="igraph_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={
+            "spark.driver.memory":
+                os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+            # measured conf matrix (see BENCH/BASELINE.md):
+            # - AQE replanning costs more than it saves per superstep
+            # - shuffle-hash join beats SMJ (no per-superstep sort of
+            #   the cached link table)
+            # - per-superstep broadcast of the n-row state loses to a
+            #   partitioned join (driver collect each round)
+            # - shuffle compression is a net loss in local mode (page
+            #   cache absorbs the writes; lz4 only burns CPU) — on a
+            #   real network-shuffle cluster keep it on
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.join.preferSortMergeJoin": "false",
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+        },
+    )
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        dt = time.monotonic() - t0
+        queries[name] = round(dt, 3)
+        return out
+
+    # ---- the BASELINE graph: Zipf-skewed, deterministic ----------------
+    g = zipf_skew(spark, n=N_VERTS, m=M_EDGES, alpha=2.0, seed=42,
+                  directed=True).hash_partition(CPUS)
+    m_actual = g.ecount()  # materializes the partitioned cache
+
+    def run_pagerank():
+        return pagerank(g, damping=0.85, tol=0.0, max_iter=SUPERSTEPS,
+                        check_every=5, num_partitions=CPUS).count()
+
+    timed("pagerank_supersteps", run_pagerank)
+    extra["edges_per_sec_per_superstep"] = round(
+        m_actual * SUPERSTEPS / queries["pagerank_supersteps"], 1)
+    extra["bench_edges"] = m_actual
+
+    timed("wcc", lambda: connected_components(g, "weak", max_iter=40)
+          .select("component").distinct().count())
+
+    tri_g = gnm(spark, n=6000, m=500_000, seed=42, directed=False)
+    timed("triangles", lambda: triangles_df(tri_g).count())
+
+    timed("lpa", lambda: label_propagation(g, max_iter=6)
+          .select("label").distinct().count())
+
+    # ---- relational operators over the sf tables -----------------------
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+    def run_cocitation():
+        from igraph_spark.graph import Graph
+        e = (orders.join(lineitem,
+                         orders["o_orderkey"] == lineitem["l_orderkey"])
+             .select((F.col("o_custkey") * 2).alias("src"),
+                     (F.col("l_suppkey") * 2 + 1).alias("dst")).distinct())
+        return similarity.cocitation(Graph(e, directed=True)).count()
+
+    timed("cocitation", run_cocitation)
+
+    timed("agg_lineitem", lambda: (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.count("*"),
+             F.countDistinct("l_partkey")).count()))
+
+    # ---- documents / embeddings pipeline -------------------------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("token_count", lambda: text.token_count(docs)
+          .agg(F.sum("n_tokens")).count())
+    timed("dedup_exact", lambda: dedup.exact_duplicates(docs).count())
+    timed("dedup_minhash", lambda: dedup.minhash_lsh_pairs(
+        docs, threshold=0.5).count())
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed("ann_topk", lambda: ann.cosine_topk_bruteforce(
+        emb, emb.where("vec_id < 32"), k=10).count())
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -41,10 +41,15 @@ def _dense_relabel(state: DataFrame, label_col: str = "comp",
 def _weak_components_raw(graph: Graph, max_iter: int = 200,
                          checkpoint_every: int = 5) -> DataFrame:
     """Fixpoint: comp(v) = min over {comp(v)} ∪ {comp(u): u ~ v}, with a
-    pointer-jumping compression step (comp(v) <- comp(comp(v))) each
-    round, giving near-logarithmic convergence on high-diameter graphs
-    (the scale story; plain hash-min needs O(diameter) rounds).
-    Returns DataFrame(id, comp) where comp = component min id."""
+    pointer-jumping compression step (comp(v) <- prev_comp(comp(v)))
+    each round, giving near-logarithmic convergence on high-diameter
+    graphs (plain hash-min needs O(diameter) rounds).
+
+    One Spark action per round: the old label is carried through the
+    plan so the changed-count fuses into the same aggregate that
+    materializes the new state (no separate join against the old
+    state).  Returns DataFrame(id, comp) where comp = component min id.
+    """
     spark = graph.edges.sparkSession
     sym = (graph.sym_edges()
            .where(F.col(SRC) != F.col(DST))
@@ -58,22 +63,27 @@ def _weak_components_raw(graph: Graph, max_iter: int = 200,
     for step in range(start, max_iter):
         nbrmin = (sym.join(state, sym[SRC] == state[ID])
                   .groupBy(DST).agg(F.min("comp").alias("nbr_comp")))
-        new = (state.join(nbrmin, state[ID] == nbrmin[DST], "left")
-               .select(state[ID],
-                       F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp")))
-                       .alias("comp")))
-        # pointer jumping: comp(v) <- comp(comp(v))
-        m = new.select(F.col(ID).alias("mid"), F.col("comp").alias("mcomp"))
-        new = (new.join(m, new["comp"] == m["mid"], "left")
-               .select(new[ID], F.coalesce("mcomp", "comp").alias("comp")))
+        half = (state.join(nbrmin, state[ID] == nbrmin[DST], "left")
+                .select(state[ID], F.col("comp").alias("old"),
+                        F.least(F.col("comp"),
+                                F.coalesce("nbr_comp", F.col("comp")))
+                        .alias("c1")))
+        # pointer jump through the *cached previous* mapping (labels
+        # only decrease, so prev_comp(c1) is a valid — if slightly
+        # weaker — compression that avoids a self-join on this round's
+        # uncached result)
+        m = state.select(F.col(ID).alias("mid"), F.col("comp").alias("mc"))
+        new = (half.join(m, half["c1"] == m["mid"], "left")
+               .select(half[ID], "old",
+                       F.least("c1", F.coalesce("mc", "c1")).alias("comp")))
         new = new.persist()
-        changed = (new.join(state.withColumnRenamed("comp", "old"), ID)
-                   .where(F.col("comp") != F.col("old")).count())
+        changed = int(new.agg(
+            F.sum((F.col("comp") != F.col("old")).cast("long"))).first()[0] or 0)
         state = runner.advance(step, new, metrics={"changed": changed})
         if changed == 0:
             break
     sym.unpersist()
-    return state
+    return state.select(ID, "comp")
 
 
 def _strong_components_raw(graph: Graph, max_outer: int = 100,
@@ -92,47 +102,52 @@ def _strong_components_raw(graph: Graph, max_outer: int = 100,
              .where(F.col(SRC) != F.col(DST)).distinct()
              .persist(StorageLevel.MEMORY_AND_DISK))
     active = graph.vertices.select(ID).persist()
+    n_active = active.count()
     done_parts: list[DataFrame] = []
 
     for _outer in range(max_outer):
-        # ---- trim singleton SCCs (zero in/out degree within active)
-        while True:
-            e_act = (edges.join(active.withColumnRenamed(ID, SRC), SRC, "left_semi")
+        # ---- trim singleton SCCs (zero in/out degree within active);
+        # one action per pass: materialize the surviving core + count
+        while n_active > 0:
+            e_act = (edges
+                     .join(active.withColumnRenamed(ID, SRC), SRC, "left_semi")
                      .join(active.withColumnRenamed(ID, DST), DST, "left_semi"))
-            e_act = e_act.persist()
-            has_out = e_act.select(F.col(SRC).alias(ID)).distinct()
-            has_in = e_act.select(F.col(DST).alias(ID)).distinct()
-            core = active.join(has_out, ID, "left_semi") \
-                         .join(has_in, ID, "left_semi").persist()
-            n_core, n_active = core.count(), active.count()
-            trimmed = active.join(core, ID, "left_anti")
+            core = (active
+                    .join(e_act.select(F.col(SRC).alias(ID)).distinct(),
+                          ID, "left_semi")
+                    .join(e_act.select(F.col(DST).alias(ID)).distinct(),
+                          ID, "left_semi")
+                    .persist())
+            n_core = core.count()
             if n_core < n_active:
-                done_parts.append(
-                    trimmed.select(ID, F.col(ID).alias("comp")))
+                done_parts.append(active.join(core, ID, "left_anti")
+                                  .select(ID, F.col(ID).alias("comp"))
+                                  .localCheckpoint(eager=True))
                 active.unpersist()
-                active = core
-                e_act.unpersist()
+                active, n_active = core, n_core
                 continue
             break
-        if n_core == 0:
+        if n_active == 0:
             break
-        e_core = (e_act.join(core.withColumnRenamed(ID, SRC), SRC, "left_semi")
-                  .join(core.withColumnRenamed(ID, DST), DST, "left_semi")
+        e_core = (edges
+                  .join(active.withColumnRenamed(ID, SRC), SRC, "left_semi")
+                  .join(active.withColumnRenamed(ID, DST), DST, "left_semi")
                   .persist(StorageLevel.MEMORY_AND_DISK))
-        e_act.unpersist()
 
         # ---- forward max-color propagation to fixpoint
-        color = core.select(ID, F.col(ID).alias("color")).persist()
+        # (one fused action per round: changed-count carried in-plan)
+        color = active.select(ID, F.col(ID).alias("color")).persist()
         for _ in range(max_inner):
             push = (e_core.join(color, e_core[SRC] == color[ID])
                     .groupBy(DST).agg(F.max("color").alias("in_color")))
             new = (color.join(push, color[ID] == push[DST], "left")
-                   .select(color[ID],
+                   .select(color[ID], F.col("color").alias("old"),
                            F.greatest(F.col("color"),
                                       F.coalesce("in_color", F.col("color")))
-                           .alias("color")).persist())
-            changed = (new.join(color.withColumnRenamed("color", "old"), ID)
-                       .where(F.col("color") != F.col("old")).count())
+                           .alias("color"))
+                   .persist())
+            changed = int(new.agg(F.sum(
+                (F.col("color") != F.col("old")).cast("long"))).first()[0] or 0)
             color.unpersist()
             color = new
             if changed == 0:
@@ -141,39 +156,44 @@ def _strong_components_raw(graph: Graph, max_outer: int = 100,
         # ---- backward membership from roots within same color
         member = color.select(ID, "color",
                               (F.col(ID) == F.col("color")).alias("m")).persist()
+        n_mem = member.where("m").count()
         for _ in range(max_inner):
-            # u joins if some out-edge (u->w) has member w of same color
+            # u joins if some out-edge (u->w) has member w of u's color;
+            # dedup to (id, color) pairs and join on BOTH keys so a
+            # vertex reaching members of several colors cannot fan out
+            # the state row
             reach = (e_core
                      .join(member.select(F.col(ID).alias(DST),
                                          F.col("color").alias("wc"),
                                          F.col("m").alias("wm")), DST)
                      .where(F.col("wm"))
-                     .select(F.col(SRC).alias(ID), F.col("wc"))
-                     .distinct())
-            new = (member.join(reach.withColumnRenamed("wc", "rc"),
-                               [ID], "left")
+                     .select(F.col(SRC).alias(ID), F.col("wc").alias("color"))
+                     .distinct()
+                     .withColumn("hit", F.lit(True)))
+            new = (member.join(reach, [ID, "color"], "left")
                    .select(member[ID], "color",
-                           (F.col("m") | (F.col("rc").isNotNull()
-                                          & (F.col("rc") == F.col("color"))))
+                           (F.col("m") | F.coalesce("hit", F.lit(False)))
                            .alias("m")).persist())
-            grew = (new.where("m").count() - member.where("m").count())
+            n_new = int(new.agg(F.sum(F.col("m").cast("long"))).first()[0] or 0)
             member.unpersist()
             member = new
-            if grew == 0:
+            if n_new == n_mem:
                 break
+            n_mem = n_new
 
         scc = member.where("m").select(ID, "color")
         comp_min = scc.groupBy("color").agg(F.min(ID).alias("comp"))
-        done_parts.append(scc.join(comp_min, "color").select(ID, "comp"))
+        done_parts.append(scc.join(comp_min, "color").select(ID, "comp")
+                          .localCheckpoint(eager=True))
 
         remaining = member.where(~F.col("m")).select(ID).persist()
+        n_active = remaining.count()
         active.unpersist()
-        core.unpersist()
         e_core.unpersist()
         member.unpersist()
         color.unpersist()
         active = remaining
-        if active.count() == 0:
+        if n_active == 0:
             break
 
     out = done_parts[0]

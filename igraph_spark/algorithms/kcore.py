@@ -38,10 +38,10 @@ def coreness(graph: Graph, mode: str = "all", max_waves: int = 10000) -> DataFra
     inc = inc.persist(StorageLevel.MEMORY_AND_DISK)
 
     remaining = graph.vertices.select(ID).persist()
+    n_rem = remaining.count()
     results: list[DataFrame] = []
     k = 0
     for _ in range(max_waves):
-        n_rem = remaining.count()
         if n_rem == 0:
             break
         e_rem = (inc.join(remaining.withColumnRenamed(ID, SRC), SRC, "left_semi")
@@ -49,18 +49,19 @@ def coreness(graph: Graph, mode: str = "all", max_waves: int = 10000) -> DataFra
         deg = (remaining.join(
             e_rem.groupBy(SRC).agg(F.count("*").alias("deg"))
                  .withColumnRenamed(SRC, ID), ID, "left")
-            .select(ID, F.coalesce("deg", F.lit(0)).alias("deg")))
-        deg = deg.persist()
-        min_deg_row = deg.agg(F.min("deg")).first()
-        min_deg = int(min_deg_row[0]) if min_deg_row[0] is not None else 0
+            .select(ID, F.coalesce("deg", F.lit(0)).alias("deg"))
+            .persist())
+        min_deg = int(deg.agg(F.min("deg")).first()[0] or 0)
         k = max(k, min_deg)
+        # min_deg <= k guarantees a non-empty peel: every wave makes
+        # progress, so no separate emptiness probe is needed
         peel = deg.where(F.col("deg") <= k).select(ID)
-        n_peel = peel.count()
-        if n_peel == 0:
-            deg.unpersist()
-            continue
-        results.append(peel.select(ID, F.lit(k).cast("long").alias("coreness")))
-        nxt = remaining.join(peel, ID, "left_anti").persist()
+        # truncate lineage: the accumulated parts must survive the
+        # unpersist of this wave's deg/remaining without replaying
+        results.append(peel.select(ID, F.lit(k).cast("long").alias("coreness"))
+                       .localCheckpoint(eager=True))
+        nxt = deg.where(F.col("deg") > k).select(ID).persist()
+        n_rem = nxt.count()
         remaining.unpersist()
         deg.unpersist()
         remaining = nxt

@@ -93,14 +93,17 @@ def label_propagation(graph: Graph, weights: bool | None = None,
         updatable = ((~F.col("fixed"))
                      & (F.pmod(F.xxhash64(ID, F.lit(seed)), F.lit(2)) == parity)
                      & F.col("best").isNotNull())
-        new = (state.join(best, ID, "left")
+        new = (state.select(ID, F.col("label").alias("prev"), "fixed")
+               .join(best, ID, "left")
                .select(ID,
-                       F.when(updatable, F.col("best")).otherwise(F.col("label"))
+                       F.when(updatable, F.col("best")).otherwise(F.col("prev"))
                        .alias("label"),
-                       "fixed"))
+                       "prev", "fixed"))
         new = new.persist()
-        changed = (new.join(state.select(ID, F.col("label").alias("old")), ID)
-                   .where(~(F.col("label").eqNullSafe(F.col("old")))).count())
+        # fused action: materialize + changed-count in one aggregate
+        changed = int(new.agg(F.sum(
+            (~F.col("label").eqNullSafe(F.col("prev"))).cast("long")))
+            .first()[0] or 0)
         state = runner.advance(step, new, metrics={"changed": changed})
         stable_rounds = stable_rounds + 1 if changed == 0 else 0
         if stable_rounds >= 2:  # fixpoint for both parities

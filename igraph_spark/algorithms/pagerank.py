@@ -160,30 +160,32 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
     # the adjacency, not in the unweighted out-degree) makes the raw
     # operator non-stochastic, so power iteration needs per-step
     # rescaling to converge (as any eigensolver does).
-    row0 = (state.join(vinfo, ID)
+    row0 = (state.select(ID, "pr").join(vinfo, ID)
             .agg(F.sum(mass).alias("sumfrom"), F.sum("pr").alias("total"))
             .first())
     sumfrom, total = float(row0.sumfrom), float(row0.total)
 
     converged = False
     for step in range(start, max_iter):
-        contrib = (links.join(state, links[SRC] == state[ID])
+        contrib = (links.join(state.select(ID, "pr"),
+                              links[SRC] == F.col(ID))
                    .groupBy(DST)
                    .agg(F.sum(F.col("pr") * F.col("nw")).alias("flow")))
+        # old score and dangling flag are folded into the same plan, so
+        # the whole superstep — update, convergence delta, next round's
+        # scalars — is ONE job; the delta aggregate reuses the
+        # freshly-cached state instead of re-joining in a second job
         new = (vinfo.join(contrib, vinfo[ID] == contrib[DST], "left")
-               .select(vinfo[ID],
+               .join(state.select(ID, F.col("pr").alias("pr_old")), ID)
+               .select(vinfo[ID], F.col("dangling"), F.col("pr_old"),
                        ((F.lit(d) * F.coalesce("flow", F.lit(0.0))
                          + F.lit(sumfrom) * F.col("reset"))
                         / F.lit(total)).alias("pr")))
         new = new.persist()
-        # ONE action per superstep: materializes the new state and fuses
-        # the convergence delta with the next round's scalars
-        row = (new.join(state.select(ID, F.col("pr").alias("pr_old")), ID)
-               .join(vinfo.select(ID, "dangling"), ID)
-               .agg(F.max(F.abs(F.col("pr") - F.col("pr_old"))).alias("delta"),
-                    F.sum(mass).alias("sumfrom"),
-                    F.sum("pr").alias("total"))
-               .first())
+        row = (new.agg(
+            F.max(F.abs(F.col("pr") - F.col("pr_old"))).alias("delta"),
+            F.sum(mass).alias("sumfrom"),
+            F.sum("pr").alias("total")).first())
         delta, sumfrom, total = (float(row.delta), float(row.sumfrom),
                                  float(row.total))
         state = runner.advance(step, new, metrics={"delta": delta})

@@ -85,7 +85,7 @@ def rhp_signature(embeddings: DataFrame, dim: int, n_planes: int = 16,
         plane = F.array(*[F.lit(float(x)) for x in pl])
         dot = _dot(F.col(vec_col), plane)
         sig = sig.bitwiseOR(
-            F.when(dot >= 0, F.lit(1).cast("long") << i)
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i))
              .otherwise(F.lit(0).cast("long")))
     return embeddings.select(F.col(id_col).alias("vec_id"),
                              sig.alias("bucket"))

@@ -21,7 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-MERSENNE61 = (1 << 61) - 1
+# Mersenne prime 2^31-1: keeps a*x within int64 under ANSI mode
+MERSENNE31 = (1 << 31) - 1
 
 
 def exact_duplicates(docs: DataFrame, col: str = "text") -> DataFrame:
@@ -56,26 +57,28 @@ def minhash_signatures(docs: DataFrame, col: str = "text",
                        seed: int = 42) -> DataFrame:
     """-> (doc_id, sig: array<long>[num_hashes]).
 
-    min over shingle hashes of (a_i*x + b_i) mod M61, with (a_i, b_i)
-    fixed odd constants from xxhash64(seed, i).
+    min over shingle hashes of (a_i*x + b_i) mod M31, with (a_i, b_i)
+    fixed odd constants derived from sha256(seed, i); 31-bit modulus so
+    the product stays inside int64 (Spark ANSI overflow checking).
     """
     consts = []
     for i in range(num_hashes):
         # driver-side constant derivation (deterministic, no RNG state)
         import hashlib
         h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
-        a = (int.from_bytes(h[:8], "big") | 1) % MERSENNE61
-        b = int.from_bytes(h[8:16], "big") % MERSENNE61
+        a = (int.from_bytes(h[:8], "big") % (MERSENNE31 - 1)) | 1
+        b = int.from_bytes(h[8:16], "big") % MERSENNE31
         consts.append((a, b))
     sh = _shingles(col, shingle).alias("sh")
     base = docs.select("doc_id", sh)
-    sig = F.array(*[
-        F.array_min(F.transform(
-            F.col("sh"),
-            lambda x, a=a, b=b: F.pmod(
-                F.pmod(F.lit(a) * F.pmod(x, F.lit(MERSENNE61)), F.lit(MERSENNE61))
-                + F.lit(b), F.lit(MERSENNE61))))
-        for a, b in consts])
+
+    def _perm(a: int, b: int):
+        return lambda x: F.pmod(
+            F.pmod(F.lit(a) * F.pmod(x, F.lit(MERSENNE31)), F.lit(MERSENNE31))
+            + F.lit(b), F.lit(MERSENNE31))
+
+    sig = F.array(*[F.array_min(F.transform(F.col("sh"), _perm(a, b)))
+                    for a, b in consts])
     return base.select("doc_id", sig.alias("sig"))
 
 
@@ -132,13 +135,15 @@ def simhash(docs: DataFrame, col: str = "text") -> DataFrame:
     words = F.filter(F.split(F.lower(F.trim(F.col(col))), r"\s+"),
                      lambda w: F.length(w) > 0)
     hashes = F.transform(words, lambda w: F.xxhash64(w))
+    def _vote(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
     bits = []
     for bit in range(64):
-        vote = F.aggregate(
-            hashes, F.lit(0).cast("long"),
-            lambda acc, h, b=bit: acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
-        bits.append(F.when(vote > 0, F.lit(1).cast("long") << bit)
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(bit))
+        bits.append(F.when(vote > 0,
+                           F.shiftleft(F.lit(1).cast("long"), bit))
                     .otherwise(F.lit(0).cast("long")))
     sh = bits[0]
     for b in bits[1:]:

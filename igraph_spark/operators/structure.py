@@ -109,7 +109,8 @@ def topological_order(graph: Graph, max_iter: int = 100000) -> DataFrame | None:
         if n_zero == 0:  # cycle
             e.unpersist(); remaining.unpersist()
             return None
-        layers.append(zero_in.select(ID, F.lit(layer).cast("long").alias("layer")))
+        layers.append(zero_in.select(ID, F.lit(layer).cast("long").alias("layer"))
+                      .localCheckpoint(eager=True))
         nxt = remaining.join(zero_in, ID, "left_anti").persist()
         remaining.unpersist()
         remaining = nxt
