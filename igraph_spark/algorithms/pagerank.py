@@ -69,12 +69,19 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
                           weights: bool | None = None, tol: float = 1e-10,
                           max_iter: int = 300, check_every: int = 10,
                           num_partitions: int | None = None,
-                          run_dir: str | None = None) -> DataFrame:
+                          run_dir: str | None = None,
+                          kernel: str = "join") -> DataFrame:
     """Personalized PageRank -> DataFrame(id, pagerank).
 
     ``weights``: None = use the graph's weight column when present,
     False = ignore it, True = require it.
+
+    ``kernel``: "join" (default — codegen'd JVM join + hash agg) or
+    "csr" (per-partition CSR block matvec in numpy over Arrow,
+    igraph_spark.plans.csr; same flows, different physical strategy).
     """
+    if kernel not in ("join", "csr"):
+        raise ValueError(f"unknown kernel {kernel!r}")
     spark = graph.edges.sparkSession
     n = graph.vcount()
     if n == 0:
@@ -126,9 +133,14 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
     links = (trav.join(outdeg, SRC)
              .where(F.col("outdeg") != 0)
              .select(F.col(DST), F.col(SRC),
-                     (F.col(WEIGHT) / F.col("outdeg")).alias("nw"))
-             .repartition(num_partitions, SRC)
-             .persist())
+                     (F.col(WEIGHT) / F.col("outdeg")).alias("nw")))
+    if kernel == "csr":
+        from igraph_spark.plans.csr import with_block_key, csr_contrib
+        links = with_block_key(links, SRC, num_partitions) \
+            .repartition(num_partitions, "pk")
+    else:
+        links = links.repartition(num_partitions, SRC)
+    links = links.persist()
 
     # vertex info: dangling flag + reset mass
     vinfo = graph.vertices.select(ID).join(
@@ -147,7 +159,7 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
     mass = F.when(F.col("dangling"), F.col("pr")).otherwise(F.col("pr") * fact)
 
     runner = SuperstepRunner(spark, run_dir=run_dir,
-                             checkpoint_every=check_every)
+                             checkpoint_every=min(check_every, 5))
     state0 = vinfo.select(ID, uniform.alias("pr"))
     state, start, _ = runner.start(
         state0, params={"algo": "pagerank", "damping": d, "tol": tol,
@@ -167,10 +179,14 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
 
     converged = False
     for step in range(start, max_iter):
-        contrib = (links.join(state.select(ID, "pr"),
-                              links[SRC] == F.col(ID))
-                   .groupBy(DST)
-                   .agg(F.sum(F.col("pr") * F.col("nw")).alias("flow")))
+        if kernel == "csr":
+            contrib = csr_contrib(state.select(ID, "pr"), links,
+                                  num_partitions)
+        else:
+            contrib = (links.join(state.select(ID, "pr"),
+                                  links[SRC] == F.col(ID))
+                       .groupBy(DST)
+                       .agg(F.sum(F.col("pr") * F.col("nw")).alias("flow")))
         # old score and dangling flag are folded into the same plan, so
         # the whole superstep — update, convergence delta, next round's
         # scalars — is ONE job; the delta aggregate reuses the
@@ -205,11 +221,11 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
 def pagerank(graph: Graph, damping: float = 0.85, weights: bool | None = None,
              tol: float = 1e-10, max_iter: int = 300, check_every: int = 10,
              num_partitions: int | None = None,
-             run_dir: str | None = None) -> DataFrame:
+             run_dir: str | None = None, kernel: str = "join") -> DataFrame:
     """Uniform-reset PageRank (igraph_pagerank, centrality.c:1116-1124)
     -> DataFrame(id, pagerank)."""
     return personalized_pagerank(graph, damping=damping, reset=None,
                                  weights=weights, tol=tol, max_iter=max_iter,
                                  check_every=check_every,
                                  num_partitions=num_partitions,
-                                 run_dir=run_dir)
+                                 run_dir=run_dir, kernel=kernel)

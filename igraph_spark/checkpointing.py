@@ -58,7 +58,7 @@ def partition_lineage(df: DataFrame) -> list[dict]:
 
 class SuperstepRunner:
     def __init__(self, spark: SparkSession, run_dir: str | None = None,
-                 checkpoint_every: int = 10,
+                 checkpoint_every: int = 5,
                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
                  lineage_fingerprint: bool = False):
         self.spark = spark
@@ -141,6 +141,11 @@ class SuperstepRunner:
             self._write_manifest(step, path, lineage, self._params)
             out = reloaded
         elif (step + 1) % self.checkpoint_every == 0:
+            # a BSP round typically references the previous state more
+            # than once (update + convergence metric), so the Catalyst
+            # plan DOUBLES per un-truncated round; localCheckpoint every
+            # checkpoint_every rounds caps the fan-out at
+            # 2^checkpoint_every subtrees (keep it <= ~5)
             out = new_state.localCheckpoint(eager=True)
         else:
             out = new_state.persist(self.storage)

@@ -15,7 +15,7 @@ def spark():
         master="local[4]",
         shuffle_partitions=1,
         extra_conf={
-            "spark.driver.memory": "4g",
+            "spark.driver.memory": "8g",
             # tiny fixtures: single shuffle partition, no AQE replanning
             # (production defaults in session.py keep AQE on)
             "spark.sql.adaptive.enabled": "false",
@@ -28,3 +28,12 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(autouse=True)
+def _drop_leaked_caches(request, spark):
+    """Operators persist intermediates (oriented edges, signatures);
+    across 50+ tests those leak into the single local JVM.  Clear the
+    cache after each test to keep the session bounded."""
+    yield
+    spark.catalog.clearCache()

@@ -1,0 +1,90 @@
+"""Two-parallelism scaling evidence (BASELINE.json north rule).
+
+No real multi-executor cluster exists in this sandbox, so the N -> 4N
+executor criterion is evidenced by running the SAME job on the SAME
+deterministic input at local[8] and local[32] (task instruction /
+BASELINE.md).  Everything except the core count is held fixed:
+partition count, checkpoint interval, input graph, superstep count.
+
+Each measurement runs in its own subprocess (fresh JVM, no page-cache
+help from the sibling) and does a 2-superstep JIT warmup before the
+timed window.
+
+Usage: python tools/scaling_bench.py [edges] [out_md]
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, {root!r})
+from igraph_spark.session import get_spark
+from igraph_spark.generators import zipf_skew
+from igraph_spark.algorithms.pagerank import pagerank
+
+cores = int(sys.argv[1]); m = int(sys.argv[2]); steps = int(sys.argv[3])
+PARTS = 64  # fixed across runs: >= 2x the larger core count
+spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=PARTS,
+    extra_conf={{
+        "spark.driver.memory": "48g",
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.shuffle.compress": "false",
+        "spark.shuffle.spill.compress": "false",
+    }})
+g = zipf_skew(spark, n=1 << 21, m=m, seed=42, directed=True).hash_partition(PARTS)
+m_actual = g.ecount()
+pagerank(g, tol=0.0, max_iter=2, check_every=2, num_partitions=PARTS).count()  # JIT warmup
+t0 = time.monotonic()
+pagerank(g, tol=0.0, max_iter=steps, check_every=5, num_partitions=PARTS).count()
+dt = time.monotonic() - t0
+print(json.dumps({{"cores": cores, "sec": dt, "edges": m_actual,
+                   "steps": steps,
+                   "edges_per_sec_per_superstep": m_actual * steps / dt}}))
+spark.stop()
+"""
+
+
+def run(cores: int, m: int, steps: int) -> dict:
+    script = WORKER.format(root=HERE)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), str(m), str(steps)],
+        capture_output=True, text=True, timeout=1800, check=True)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    m = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    out_md = sys.argv[4] if len(sys.argv) > 4 else os.path.join(
+        HERE, "BENCH", f"scaling_{n_lo}_{n_hi}.json")
+    steps = 10
+    r8 = run(n_lo, m, steps)
+    r32 = run(n_hi, m, steps)
+    thr8, thr32 = (r8["edges_per_sec_per_superstep"],
+                   r32["edges_per_sec_per_superstep"])
+    eff = (thr32 / thr8) / (n_hi / n_lo)
+    os.makedirs(os.path.dirname(out_md), exist_ok=True)
+    with open(out_md, "w") as fh:
+        json.dump({"n_lo": n_lo, "n_hi": n_hi, "edges": r8["edges"],
+                   "steps": steps, "sec_lo": r8["sec"],
+                   "sec_hi": r32["sec"], "thr_lo": thr8, "thr_hi": thr32,
+                   "eff": eff}, fh, indent=1)
+    print(json.dumps({"pair": [n_lo, n_hi], "eff": round(eff, 3),
+                      "thr_lo": round(thr8), "thr_hi": round(thr32),
+                      "out": out_md}))
+
+
+if __name__ == "__main__":
+    main()
