@@ -297,6 +297,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("cosine", 6).alias("cosine"),
                         F.col("rank").cast("long").alias("rank")))
 
+    # ---------------- paths / centrality / census
+    def q_bfs(spark, sf):
+        from igraph_spark.algorithms.paths import bfs_distances
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            out = (bfs_distances(g, [0, 1, 2], mode="out", max_hops=6)
+                   .select("source", "id", F.col("dist").cast("long")
+                           .alias("dist"))
+                   .localCheckpoint(eager=True))
+        return out
+
+    def q_dyad_census(spark, sf):
+        from igraph_spark.algorithms.centrality import dyad_census
+        g = _graph(_mod_edges(spark, sf), True)
+        return dyad_census(g)
+
+    def q_eigenvector(spark, sf):
+        from igraph_spark.algorithms.centrality import eigenvector_centrality
+        g = _graph(_supplier_edges(spark, sf), False)
+        with _lean_conf(spark):
+            out = (eigenvector_centrality(g, tol=1e-8, max_iter=80)
+                   .select("id", F.round("eigenvector", 8)
+                           .alias("eigenvector"))
+                   .localCheckpoint(eager=True))
+        return out
+
+    def q_hits(spark, sf):
+        from igraph_spark.algorithms.centrality import hits
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            out = (hits(g, tol=1e-8, max_iter=60)
+                   .select("id", F.round("hub", 8).alias("hub"),
+                           F.round("authority", 8).alias("authority"))
+                   .localCheckpoint(eager=True))
+        return out
+
+    def q_random_walks(spark, sf):
+        from igraph_spark.algorithms.paths import random_walks
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            out = random_walks(g, num_walks_per_vertex=1, length=4,
+                               seed=42).localCheckpoint(eager=True)
+        return out
+
+    def q_ann_near_dup(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        from igraph_spark.functions.ann import _dot, _norm
+        a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+        b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+        pairs = (a.join(b, F.col("a") < F.col("b"))
+                 .select("a", "b",
+                         (_dot(F.col("va"), F.col("vb"))
+                          / (_norm(F.col("va")) * _norm(F.col("vb"))))
+                         .alias("cos"))
+                 .where(F.col("cos") >= 0.4))
+        return pairs.select("a", "b", F.round("cos", 6).alias("cosine"))
+
     # ---------------- iterative (rows-only: no single-SQL equivalent)
     def q_pagerank(spark, sf):
         g = _graph(_order_edges(spark, sf), True)
@@ -353,6 +410,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine": q_ann_cosine,
+        "ann_near_dup": q_ann_near_dup,
+        "bfs": q_bfs,
+        "dyad_census": q_dyad_census,
+        "eigenvector": q_eigenvector,
+        "hits": q_hits,
+        "random_walks": q_random_walks,
         "pagerank": q_pagerank,
         "wcc_sizes": q_wcc_sizes,
         "lpa_community_sizes": q_lpa_community_sizes,
@@ -564,8 +627,45 @@ def oracle_sql() -> dict[str, str]:
                  CAST(rank AS BIGINT) AS rank
           FROM ranked WHERE rank <= 5
         """,
-        # langid / fingerprint / minhash_pairs / simhash_pairs and the
-        # iterative fixpoints (pagerank, wcc_sizes, lpa_community_sizes,
-        # kcore) are intentionally omitted: hash-seeded signatures and
+        "bfs": f"""
+          WITH RECURSIVE e AS ({_MOD_E_SQL}),
+               r AS (
+                 SELECT s.source, s.source AS id, 0 AS dist
+                 FROM (SELECT 0 AS source UNION SELECT 1 UNION SELECT 2) s
+                 UNION
+                 SELECT r.source, e.dst AS id, r.dist + 1
+                 FROM r JOIN e ON e.src = r.id WHERE r.dist < 6)
+          SELECT source, id, CAST(min(dist) AS BIGINT) AS dist
+          FROM r GROUP BY 1, 2
+        """,
+        "dyad_census": f"""
+          WITH e AS (SELECT * FROM ({_MOD_E_SQL}) WHERE src <> dst),
+               p AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                            count(*) AS c
+                     FROM e GROUP BY 1, 2),
+               v AS (SELECT src AS id FROM ({_MOD_E_SQL})
+                     UNION SELECT dst FROM ({_MOD_E_SQL})),
+               nv AS (SELECT count(*) AS n FROM v)
+          SELECT CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS mut,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS asym,
+                 CAST((SELECT n * (n - 1) / 2 FROM nv)
+                      - count(*) AS BIGINT) AS null
+          FROM p
+        """,
+        "ann_near_dup": """
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        # langid / fingerprint / minhash_pairs / simhash_pairs /
+        # eigenvector / hits / random_walks and the iterative fixpoints
+        # (pagerank, wcc_sizes, lpa_community_sizes, kcore) are
+        # intentionally omitted: hash-seeded signatures and
         # per-iteration aggregation are not single-query ANSI SQL.
     }

@@ -1,0 +1,167 @@
+"""Eigenvector-family centralities beyond PageRank (SURVEY.md §2.12):
+eigenvector centrality and HITS hub/authority scores.
+
+Reference: igraph_eigenvector_centrality
+(/root/reference/src/centrality.c:157-543), igraph_hub_score /
+igraph_authority_score (:840-886).  The reference solves with ARPACK;
+the dominant eigenvector is the same fixpoint a power iteration
+reaches, and a BSP superstep (join + agg per round, max-normalized
+like the reference's output convention: max score = 1) is the
+Spark-native solver — one more instance of the PageRank execution
+shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from igraph_spark.graph import Graph, SRC, DST, WEIGHT, ID
+from igraph_spark.checkpointing import SuperstepRunner
+
+
+def _weighted_trav(graph: Graph, reverse: bool = False) -> DataFrame:
+    e = graph.weighted_edges()
+    if not graph.directed:
+        rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
+        e = e.unionByName(rev)
+    elif reverse:
+        e = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
+    return e
+
+
+def _power_iterate(graph: Graph, edges: DataFrame, tol: float,
+                   max_iter: int, algo: str,
+                   shift: float = 1.0) -> DataFrame:
+    """x' = normalize_max((A + shift*I) x) to a fixpoint ->
+    DataFrame(id, score).  The +shift*I term leaves the eigenvectors
+    unchanged but breaks the +-lambda oscillation of bipartite graphs
+    (a star under plain power iteration has period 2); the reference's
+    ARPACK solver is immune, a power method needs the shift."""
+    spark = graph.edges.sparkSession
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    links = (edges.select(F.col(DST), F.col(SRC), F.col(WEIGHT).alias("nw"))
+             .repartition(num_partitions, SRC).persist())
+    verts = graph.vertices.select(ID).persist()
+
+    runner = SuperstepRunner(spark, checkpoint_every=5)
+    state0 = verts.select(ID, F.lit(1.0).alias("x"))
+    state, start, _ = runner.start(state0, params={"algo": algo, "tol": tol})
+    scale = 1.0
+    for step in range(start, max_iter):
+        flow = (links.join(state.select(ID, "x"), links[SRC] == F.col(ID))
+                .groupBy(DST).agg(F.sum(F.col("x") * F.col("nw")).alias("f")))
+        new = (verts.join(flow, verts[ID] == flow[DST], "left")
+               .join(state.select(ID, F.col("x").alias("x_old")), ID)
+               .select(verts[ID],
+                       ((F.coalesce("f", F.lit(0.0))
+                         + F.lit(float(shift)) * F.col("x_old"))
+                        / F.lit(scale)).alias("x"),
+                       "x_old"))
+        new = new.persist()
+        row = new.agg(F.max(F.abs(F.col("x") - F.col("x_old"))).alias("delta"),
+                      F.max(F.abs(F.col("x"))).alias("mx")).first()
+        delta, mx = float(row.delta), float(row.mx)
+        if mx == 0:  # no edges feed anything: all-zero fixpoint
+            scale = 1.0
+        else:
+            scale = mx
+        state = runner.advance(step, new, metrics={"delta": delta})
+        if delta < tol:
+            break
+    # final max-normalization (reference convention: max score = 1)
+    mx = state.agg(F.max(F.abs(F.col("x")))).first()[0]
+    if not mx:
+        mx = 1.0
+    out = state.select(ID, (F.col("x") / F.lit(float(mx))).alias("score"))
+    links.unpersist()
+    verts.unpersist()
+    return out
+
+
+def eigenvector_centrality(graph: Graph, tol: float = 1e-9,
+                           max_iter: int = 200) -> DataFrame:
+    """-> DataFrame(id, eigenvector) with max score 1 (reference
+    scaling, centrality.c:157).  Directed graphs use in-edges (the left
+    eigenvector), undirected the symmetrized adjacency."""
+    e = _weighted_trav(graph)
+    out = _power_iterate(graph, e, tol, max_iter, "eigenvector")
+    return out.withColumnRenamed("score", "eigenvector")
+
+
+def hits(graph: Graph, tol: float = 1e-9, max_iter: int = 100
+         ) -> DataFrame:
+    """HITS -> DataFrame(id, hub, authority), each max-normalized to 1
+    (igraph_hub_score/_authority_score, centrality.c:840-886).
+
+    a' = A^T h, h' = A a — equivalently hub scores are the dominant
+    eigenvector of A A^T; we alternate the two half-steps per round.
+    """
+    spark = graph.edges.sparkSession
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = graph.weighted_edges()
+    if not graph.directed:
+        rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
+        e = e.unionByName(rev)
+    e = e.repartition(num_partitions, SRC).persist()
+    verts = graph.vertices.select(ID).persist()
+
+    runner = SuperstepRunner(spark, checkpoint_every=4)
+    state0 = verts.select(ID, F.lit(1.0).alias("hub"))
+    state, start, _ = runner.start(state0, params={"algo": "hits"})
+    for step in range(start, max_iter):
+        auth = (e.join(state.select(F.col(ID).alias(SRC), "hub"), SRC)
+                .groupBy(DST).agg(F.sum(F.col("hub") * F.col(WEIGHT))
+                                  .alias("a_raw")))
+        hub = (e.join(auth.select(F.col(DST), "a_raw"), DST)
+               .groupBy(SRC).agg(F.sum(F.col("a_raw") * F.col(WEIGHT))
+                                 .alias("h_raw")))
+        new = (verts.join(hub, verts[ID] == hub[SRC], "left")
+               .join(state.select(ID, F.col("hub").alias("h_old")), ID)
+               .select(verts[ID], F.coalesce("h_raw", F.lit(0.0)).alias("hub"),
+                       "h_old"))
+        new = new.persist()
+        row = new.agg(F.max(F.abs(F.col("hub"))).alias("mx")).first()
+        mx = float(row.mx) or 1.0
+        new_n = new.select(ID, (F.col("hub") / F.lit(mx)).alias("hub"),
+                           "h_old").persist()
+        delta = float(new_n.agg(
+            F.max(F.abs(F.col("hub") - F.col("h_old")))).first()[0])
+        state = runner.advance(step, new_n, metrics={"delta": delta})
+        if delta < tol:
+            break
+    hubs = state.select(ID, "hub")
+    auth = (e.join(hubs.select(F.col(ID).alias(SRC), "hub"), SRC)
+            .groupBy(DST).agg(F.sum(F.col("hub") * F.col(WEIGHT))
+                              .alias("a_raw")))
+    amx = auth.agg(F.max(F.abs("a_raw"))).first()[0] or 1.0
+    out = (verts.join(hubs, ID, "left")
+           .join(auth.select(F.col(DST).alias(ID),
+                             (F.col("a_raw") / F.lit(float(amx)))
+                             .alias("authority")), ID, "left")
+           .select(ID, F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                   F.coalesce("authority", F.lit(0.0)).alias("authority")))
+    e.unpersist()
+    verts.unpersist()
+    return out
+
+
+def dyad_census(graph: Graph) -> DataFrame:
+    """igraph_dyad_census (reference /root/reference/src/motifs.c):
+    counts of mutual / asymmetric / null dyads -> one row
+    (mut, asym, null).  Pure aggregation over the simple directed edge
+    set."""
+    spark = graph.edges.sparkSession
+    n = graph.vcount()
+    e = (graph.edges.select(SRC, DST)
+         .where(F.col(SRC) != F.col(DST)).distinct())
+    pairs = e.select(F.least(SRC, DST).alias("a"),
+                     F.greatest(SRC, DST).alias("b"))
+    per_pair = pairs.groupBy("a", "b").agg(F.count("*").alias("c"))
+    row = per_pair.agg(
+        F.sum((F.col("c") == 2).cast("long")).alias("mut"),
+        F.sum((F.col("c") == 1).cast("long")).alias("asym")).first()
+    mut = int(row.mut or 0)
+    asym = int(row.asym or 0)
+    null = n * (n - 1) // 2 - mut - asym
+    return spark.createDataFrame([(mut, asym, null)],
+                                 "mut long, asym long, null long")

@@ -1,0 +1,207 @@
+"""Path / distance algorithms (SURVEY.md §2.12 "Paths").
+
+Reference entry points: BFS shortest paths
+(/root/reference/src/structural_properties.c:455), Dijkstra
+(:4245), Bellman-Ford (:5229), diameter (:91), average path length
+(:223).
+
+Spark shapes:
+  * unweighted: BSP frontier expansion — one join + anti-join per hop,
+    frontier rows are (source, vertex) pairs so multi-source BFS costs
+    one pass (igraph loops sources sequentially);
+  * weighted: Bellman-Ford relaxation rounds (join + min-agg) — the
+    distributed SSSP workhorse (Dijkstra's priority queue is inherently
+    sequential, the relaxation fixpoint is the same answer for
+    non-negative weights and also handles negative edges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from igraph_spark.graph import Graph, SRC, DST, WEIGHT, ID
+
+
+def _trav(graph: Graph, mode: str, weighted: bool) -> DataFrame:
+    e = graph.weighted_edges() if weighted else \
+        graph.edges.select(SRC, DST).withColumn(WEIGHT, F.lit(1.0))
+    if not graph.directed or mode == "all":
+        rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
+        return e.unionByName(rev)
+    if mode == "in":
+        return e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
+    return e
+
+
+def bfs_distances(graph: Graph, sources, mode: str = "out",
+                  max_hops: int = 10000) -> DataFrame:
+    """Multi-source unweighted hop distances ->
+    DataFrame(source, id, dist).  Unreachable pairs are absent
+    (igraph reports inf).  ``sources``: iterable of ids or DataFrame."""
+    spark = graph.edges.sparkSession
+    e = (_trav(graph, mode, weighted=False).select(SRC, DST)
+         .where(F.col(SRC) != F.col(DST)).distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col(sources.columns[0]).alias("source"))
+    else:
+        src_df = spark.createDataFrame([(int(s),) for s in sources],
+                                       "source long")
+    visited = src_df.select("source", F.col("source").alias(ID),
+                            F.lit(0).cast("long").alias("dist")).persist()
+    frontier = visited
+    out_parts = [visited]
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier[ID] == e[SRC])
+               .select("source", F.col(DST).alias(ID))
+               .distinct()
+               .join(visited.select("source", ID), ["source", ID],
+                     "left_anti")
+               .withColumn("dist", F.lit(hop).cast("long"))
+               .persist())
+        if nxt.count() == 0:
+            break
+        out_parts.append(nxt)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited
+
+
+def shortest_paths(graph: Graph, sources, mode: str = "out",
+                   weights: bool | None = None,
+                   max_rounds: int = 10000) -> DataFrame:
+    """Weighted shortest-path distances via Bellman-Ford relaxation ->
+    DataFrame(source, id, dist).  Falls back to hop BFS when
+    unweighted.  Matches igraph_shortest_paths_bellman_ford semantics
+    for reachable pairs."""
+    use_w = graph.has_weights if weights is None else bool(weights)
+    if not use_w:
+        return bfs_distances(graph, sources, mode)
+    spark = graph.edges.sparkSession
+    e = _trav(graph, mode, weighted=True) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col(sources.columns[0]).alias("source"))
+    else:
+        src_df = spark.createDataFrame([(int(s),) for s in sources],
+                                       "source long")
+    state = src_df.select("source", F.col("source").alias(ID),
+                          F.lit(0.0).alias("dist")).persist()
+    for rnd in range(max_rounds):
+        relaxed = (state.join(e, state[ID] == e[SRC])
+                   .select("source", F.col(DST).alias(ID),
+                           (F.col("dist") + F.col(WEIGHT)).alias("cand")))
+        both = (state.select("source", ID, F.col("dist").alias("cand"))
+                .unionByName(relaxed))
+        new = (both.groupBy("source", ID)
+               .agg(F.min("cand").alias("dist"))
+               .persist())
+        # converged when no (source, id) pair improved or appeared
+        changed = (new.join(state.withColumnRenamed("dist", "old"),
+                            ["source", ID], "left")
+                   .where(F.col("old").isNull()
+                          | (F.col("dist") < F.col("old")))
+                   .count())
+        state.unpersist()
+        state = new.localCheckpoint(eager=True) if (rnd + 1) % 5 == 0 else new
+        if changed == 0:
+            break
+    e.unpersist()
+    return state
+
+
+def average_path_length(graph: Graph) -> float:
+    """igraph_average_path_length (structural_properties.c:223):
+    mean finite shortest-path length over ordered reachable pairs,
+    excluding self-pairs."""
+    from igraph_spark.operators.structure import path_length_hist
+    hist = path_length_hist(graph).agg(
+        F.sum(F.col("dist") * F.col("count")).alias("s"),
+        F.sum("count").alias("n")).first()
+    if not hist.n:
+        return float("nan")
+    return float(hist.s) / float(hist.n)
+
+
+def diameter(graph: Graph) -> int:
+    """igraph_diameter (structural_properties.c:91): longest finite
+    shortest path (unweighted)."""
+    from igraph_spark.operators.structure import path_length_hist
+    row = path_length_hist(graph).agg(F.max("dist")).first()
+    return int(row[0]) if row[0] is not None else 0
+
+
+def eccentricity(graph: Graph, mode: str = "all") -> DataFrame:
+    """Per-vertex eccentricity (max finite distance) ->
+    DataFrame(id, ecc).  All-sources BFS — O(V*E), test/moderate scale
+    like the reference's per-vertex loop."""
+    all_src = graph.vertices.select(ID)
+    d = bfs_distances(graph, all_src, mode)
+    return (d.groupBy("source").agg(F.max("dist").alias("ecc"))
+            .withColumnRenamed("source", ID))
+
+
+def closeness(graph: Graph, mode: str = "out") -> DataFrame:
+    """Closeness centrality (igraph_closeness, centrality.c:2473):
+    (n_reached - 1) normalized by the sum of distances to reached
+    vertices -> DataFrame(id, closeness).  igraph 0.7 divides by
+    (reached_sum) over (n-1 possible): we follow the classic
+    sum-of-distances form restricted to reachable pairs."""
+    all_src = graph.vertices.select(ID)
+    d = bfs_distances(graph, all_src, mode)
+    agg = (d.where(F.col("dist") > 0)
+           .groupBy("source")
+           .agg(F.sum("dist").alias("total"), F.count("*").alias("reached")))
+    return agg.select(F.col("source").alias(ID),
+                      (F.col("reached") / F.col("total")).alias("closeness"))
+
+
+def random_walks(graph: Graph, num_walks_per_vertex: int = 1,
+                 length: int = 10, seed: int = 42,
+                 weights: bool | None = None) -> DataFrame:
+    """Deterministic pseudo-random walks (DeepWalk-style corpus
+    generation; reference analog /root/reference/src/random_walk.c) ->
+    DataFrame(walk_id, step, id).
+
+    Each step picks the k-th out-neighbor where k =
+    xxhash64(walk_id, step, seed) mod outdeg — hash-based, so the walk
+    corpus is reproducible at any parallelism.  Walks that reach a sink
+    stop early.  One join per step over all walks simultaneously.
+    """
+    from pyspark.sql import Window
+    spark = graph.edges.sparkSession
+    e = graph.edges.select(SRC, DST)
+    w = Window.partitionBy(SRC).orderBy(DST)
+    adj = (e.distinct()
+           .withColumn("k", F.row_number().over(w) - 1))
+    degs = adj.groupBy(SRC).agg(F.max("k").alias("maxk"))
+    adj = adj.join(degs, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+
+    verts = graph.vertices.select(ID)
+    walks0 = (verts.crossJoin(
+        spark.range(num_walks_per_vertex).toDF("w"))
+        .select((F.col(ID) * num_walks_per_vertex + F.col("w"))
+                .alias("walk_id"),
+                F.lit(0).cast("long").alias("step"),
+                F.col(ID)))
+    parts = [walks0]
+    cur = walks0.persist()
+    for step in range(1, length):
+        pick = F.pmod(F.xxhash64("walk_id", F.lit(step), F.lit(seed)),
+                      F.col("maxk") + 1)
+        nxt = (cur.join(adj, cur[ID] == adj[SRC])
+               .where(F.col("k") == pick)
+               .select("walk_id", F.lit(step).cast("long").alias("step"),
+                       F.col(DST).alias(ID))
+               .persist())
+        if nxt.count() == 0:
+            break
+        parts.append(nxt)
+        cur.unpersist()
+        cur = nxt
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
