@@ -333,6 +333,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .localCheckpoint(eager=True))
         return out
 
+    def q_betweenness(spark, sf):
+        from igraph_spark.algorithms.betweenness import betweenness
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            out = (betweenness(g)
+                   .select("id", F.round("betweenness", 6)
+                           .alias("betweenness"))
+                   .localCheckpoint(eager=True))
+        return out
+
+    def q_closeness(spark, sf):
+        from igraph_spark.algorithms.paths import closeness
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            out = (closeness(g, mode="out")
+                   .select("id", F.round("closeness", 9).alias("closeness"))
+                   .localCheckpoint(eager=True))
+        return out
+
     def q_random_walks(spark, sf):
         from igraph_spark.algorithms.paths import random_walks
         g = _graph(_mod_edges(spark, sf), True)
@@ -377,6 +396,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .orderBy("label").localCheckpoint(eager=True))
         return out
 
+    def q_louvain_sizes(spark, sf):
+        from igraph_spark.algorithms.louvain import multilevel_communities
+        g = _graph(_mod_edges(spark, sf).withColumn("weight", F.lit(1.0)),
+                   True)
+        with _lean_conf(spark):
+            mem = multilevel_communities(g, max_levels=3,
+                                         max_rounds_per_level=12)
+            out = (mem.groupBy("label").agg(F.count("*").alias("size"))
+                   .orderBy("label").localCheckpoint(eager=True))
+        return out
+
     def q_kcore(spark, sf):
         g = _graph(_supplier_edges(spark, sf), False)
         with _lean_conf(spark):
@@ -415,10 +445,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyad_census": q_dyad_census,
         "eigenvector": q_eigenvector,
         "hits": q_hits,
+        "betweenness": q_betweenness,
+        "closeness": q_closeness,
         "random_walks": q_random_walks,
         "pagerank": q_pagerank,
         "wcc_sizes": q_wcc_sizes,
         "lpa_community_sizes": q_lpa_community_sizes,
+        "louvain_sizes": q_louvain_sizes,
         "kcore": q_kcore,
     }
 

@@ -109,3 +109,42 @@ def components_oracle(n, edges):
     order = sorted(set(roots))
     rank = {r: i for i, r in enumerate(order)}
     return [rank[r] for r in roots]
+
+
+def betweenness_oracle(n, edges, directed=False):
+    """Single-node Brandes (independent of the Spark code)."""
+    from collections import deque
+    adj = {i: [] for i in range(n)}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj[u].append(v)
+        if not directed:
+            adj[v].append(u)
+    bc = [0.0] * n
+    for s in range(n):
+        sigma = [0.0] * n
+        dist = [-1] * n
+        preds = [[] for _ in range(n)]
+        sigma[s], dist[s] = 1.0, 0
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in set(adj[v]):
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = [0.0] * n
+        for w in reversed(order):
+            for v in set(preds[w]):
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    if not directed:
+        bc = [x / 2 for x in bc]
+    return bc
