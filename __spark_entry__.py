@@ -362,16 +362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_ann_near_dup(spark, sf):
         e = _t(spark, sf, "embeddings")
-        from igraph_spark.functions.ann import _dot, _norm
-        a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-        b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-        pairs = (a.join(b, F.col("a") < F.col("b"))
-                 .select("a", "b",
-                         (_dot(F.col("va"), F.col("vb"))
-                          / (_norm(F.col("va")) * _norm(F.col("vb"))))
-                         .alias("cos"))
-                 .where(F.col("cos") >= 0.4))
-        return pairs.select("a", "b", F.round("cos", 6).alias("cosine"))
+        return (ann.cosine_near_dup_pairs(e, threshold=0.4)
+                .select("a", "b", F.round("cosine", 6).alias("cosine")))
 
     # ---------------- iterative (rows-only: no single-SQL equivalent)
     def q_pagerank(spark, sf):

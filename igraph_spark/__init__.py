@@ -36,6 +36,22 @@ from igraph_spark.algorithms.triangles import (
     list_triangles,
 )
 from igraph_spark.algorithms.kcore import coreness
+from igraph_spark.algorithms.betweenness import betweenness
+from igraph_spark.algorithms.louvain import multilevel_communities
+from igraph_spark.algorithms.centrality import (
+    eigenvector_centrality,
+    hits,
+    dyad_census,
+)
+from igraph_spark.algorithms.paths import (
+    bfs_distances,
+    shortest_paths,
+    average_path_length,
+    diameter,
+    eccentricity,
+    closeness,
+    random_walks,
+)
 
 __version__ = "0.1.0"
 
@@ -55,4 +71,16 @@ __all__ = [
     "transitivity_local_undirected",
     "list_triangles",
     "coreness",
+    "betweenness",
+    "multilevel_communities",
+    "eigenvector_centrality",
+    "hits",
+    "dyad_census",
+    "bfs_distances",
+    "shortest_paths",
+    "average_path_length",
+    "diameter",
+    "eccentricity",
+    "closeness",
+    "random_walks",
 ]

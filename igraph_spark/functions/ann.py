@@ -56,6 +56,27 @@ def cosine_topk_bruteforce(embeddings: DataFrame, queries: DataFrame,
             .where(F.col("rank") <= k))
 
 
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup tier over
+    vectors) -> (a, b, cosine) with a < b and cosine >= threshold.
+
+    Brute force O(n^2) — the exactness baseline; block with
+    ``rhp_signature`` buckets first at corpus scale (same re-rank)."""
+    base = embeddings.select(F.col(id_col).alias("a"),
+                             F.col(vec_col).alias("va"),
+                             _norm(F.col(vec_col)).alias("na"))
+    other = embeddings.select(F.col(id_col).alias("b"),
+                              F.col(vec_col).alias("vb"),
+                              _norm(F.col(vec_col)).alias("nb"))
+    return (base.join(other, F.col("a") < F.col("b"))
+            .select("a", "b",
+                    (_dot(F.col("va"), F.col("vb"))
+                     / (F.col("na") * F.col("nb"))).alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-gaussian hyperplanes via sha256 counters
     (Box-Muller on hash-uniform pairs)."""
