@@ -32,6 +32,16 @@ def betweenness(graph: Graph, sources=None, directed: bool | None = None,
     vertices by default (exact); a subset gives the Brandes estimator
     (igraph_betweenness_estimate analog).  Undirected results halve
     the pair dependencies, matching the reference.
+
+    Simple-graph restriction: the traversal edge set is deduplicated,
+    so parallel edges count as one geodesic each; igraph's Brandes
+    counts each parallel edge as a distinct shortest path, so sigma
+    diverges on multigraphs — run ``simplify`` first (the exactness
+    contract here is for simple graphs, which is what the driver and
+    fixtures exercise).  At 10^9-edge scale, exact all-sources Brandes
+    is O(V*E) rows by construction — pass a sampled ``sources`` subset
+    there (the estimator is the documented large-graph mode, like
+    igraph_betweenness_estimate).
     """
     spark = graph.edges.sparkSession
     use_directed = graph.directed if directed is None else directed

@@ -102,17 +102,22 @@ def hits(graph: Graph, tol: float = 1e-9, max_iter: int = 100
     if not graph.directed:
         rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
         e = e.unionByName(rev)
-    e = e.repartition(num_partitions, SRC).persist()
+    # two persisted layouts — by src for the authority half-step and by
+    # dst for the hub half-step — exactly as igraph keeps both CSR (oi/os)
+    # and CSC (ii/is) index views (igraph_datatype.h:62-76); with a single
+    # src layout the dst-keyed join re-exchanged the edge table every round
+    e_src = e.repartition(num_partitions, SRC).persist()
+    e_dst = e.repartition(num_partitions, DST).persist()
     verts = graph.vertices.select(ID).persist()
 
     runner = SuperstepRunner(spark, checkpoint_every=4)
     state0 = verts.select(ID, F.lit(1.0).alias("hub"))
     state, start, _ = runner.start(state0, params={"algo": "hits"})
     for step in range(start, max_iter):
-        auth = (e.join(state.select(F.col(ID).alias(SRC), "hub"), SRC)
+        auth = (e_src.join(state.select(F.col(ID).alias(SRC), "hub"), SRC)
                 .groupBy(DST).agg(F.sum(F.col("hub") * F.col(WEIGHT))
                                   .alias("a_raw")))
-        hub = (e.join(auth.select(F.col(DST), "a_raw"), DST)
+        hub = (e_dst.join(auth.select(F.col(DST), "a_raw"), DST)
                .groupBy(SRC).agg(F.sum(F.col("a_raw") * F.col(WEIGHT))
                                  .alias("h_raw")))
         new = (verts.join(hub, verts[ID] == hub[SRC], "left")
@@ -126,11 +131,12 @@ def hits(graph: Graph, tol: float = 1e-9, max_iter: int = 100
                            "h_old").persist()
         delta = float(new_n.agg(
             F.max(F.abs(F.col("hub") - F.col("h_old")))).first()[0])
+        new.unpersist()  # superseded by the normalized copy
         state = runner.advance(step, new_n, metrics={"delta": delta})
         if delta < tol:
             break
     hubs = state.select(ID, "hub")
-    auth = (e.join(hubs.select(F.col(ID).alias(SRC), "hub"), SRC)
+    auth = (e_src.join(hubs.select(F.col(ID).alias(SRC), "hub"), SRC)
             .groupBy(DST).agg(F.sum(F.col("hub") * F.col(WEIGHT))
                               .alias("a_raw")))
     amx = auth.agg(F.max(F.abs("a_raw"))).first()[0] or 1.0
@@ -140,7 +146,8 @@ def hits(graph: Graph, tol: float = 1e-9, max_iter: int = 100
                              .alias("authority")), ID, "left")
            .select(ID, F.coalesce("hub", F.lit(0.0)).alias("hub"),
                    F.coalesce("authority", F.lit(0.0)).alias("authority")))
-    e.unpersist()
+    e_src.unpersist()
+    e_dst.unpersist()
     verts.unpersist()
     return out
 

@@ -51,9 +51,15 @@ def _weak_components_raw(graph: Graph, max_iter: int = 200,
     state).  Returns DataFrame(id, comp) where comp = component min id.
     """
     spark = graph.edges.sparkSession
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # partition once on the join key (src) and reuse that layout every
+    # superstep — .distinct() leaves the table partitioned on (src,dst),
+    # which would re-exchange all O(2m) rows per round (same fix as the
+    # pagerank link table, pagerank.py)
     sym = (graph.sym_edges()
            .where(F.col(SRC) != F.col(DST))
            .distinct()
+           .repartition(num_partitions, SRC)
            .persist(StorageLevel.MEMORY_AND_DISK))
 
     runner = SuperstepRunner(spark, checkpoint_every=checkpoint_every)
@@ -196,10 +202,13 @@ def _strong_components_raw(graph: Graph, max_outer: int = 100,
         if n_active == 0:
             break
 
+    edges.unpersist()
+    if not done_parts:  # empty vertex set: no components at all
+        return graph.edges.sparkSession.createDataFrame(
+            [], "id long, comp long")
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)
-    edges.unpersist()
     return out
 
 

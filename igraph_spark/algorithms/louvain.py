@@ -135,8 +135,11 @@ def multilevel_communities(graph: Graph, max_levels: int = 10,
              .persist(StorageLevel.MEMORY_AND_DISK))
     m_total = edges.agg(F.sum(WEIGHT)).first()[0]
     if not m_total:
+        # edgeless graph: every vertex is its own singleton community
+        # (igraph gives isolated vertices singleton labels, not "none")
         return graph.vertices.select(
-            ID, F.lit(-1).cast("long").alias("label"))
+            ID, (F.dense_rank().over(Window.orderBy(ID)) - 1)
+            .cast("long").alias("label"))
 
     # membership(id -> community) composed across levels
     membership = graph.vertices.select(ID, F.col(ID).alias("comm"))
@@ -145,11 +148,15 @@ def multilevel_communities(graph: Graph, max_levels: int = 10,
                                       max_rounds_per_level, spark)
         if moves == 0:
             break
+        # left join: isolated vertices (absent from the contracted edge
+        # list, hence from level_mem) keep their current community as a
+        # singleton instead of being silently dropped
         membership = (membership
                       .join(level_mem.withColumnRenamed("comm", "new_comm")
                             .withColumnRenamed("v", "comm"),
-                            "comm")
-                      .select(ID, F.col("new_comm").alias("comm"))
+                            "comm", "left")
+                      .select(ID, F.coalesce("new_comm", F.col("comm"))
+                              .alias("comm"))
                       .localCheckpoint(eager=True))
         # contract: communities -> supernodes, weights summed,
         # intra-community mass becomes canonical self-loops

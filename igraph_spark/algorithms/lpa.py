@@ -48,9 +48,15 @@ def _labels_df(graph: Graph, initial) -> DataFrame:
 
 def label_propagation(graph: Graph, weights: bool | None = None,
                       initial=None, fixed=None, max_iter: int = 100,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42, parity: str = "hash") -> DataFrame:
     """-> DataFrame(id, label) with dense first-appearance labels,
-    -1 for vertices that never received one."""
+    -1 for vertices that never received one.
+
+    ``parity`` selects the semi-synchronous update-set rule: 'hash'
+    (default) updates vertices whose xxhash64(id, seed) parity matches
+    the round parity; 'id' uses plain ``id % 2`` — same oscillation
+    break, but expressible in ANSI SQL, which lets the driver oracle
+    replay the exact sweep sequence in DuckDB."""
     spark = graph.edges.sparkSession
     use_w = graph.has_weights if weights is None else bool(weights)
 
@@ -64,7 +70,11 @@ def label_propagation(graph: Graph, weights: bool | None = None,
         if not use_w:
             inc = inc.withColumn(WEIGHT, F.lit(1.0))
     inc = inc.where(F.col(SRC) != F.col(DST))  # self-label feedback excluded
-    inc = inc.persist(StorageLevel.MEMORY_AND_DISK)
+    # partition once on the per-sweep join key and reuse the layout every
+    # round (otherwise each sweep re-exchanges the whole incidence table)
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    inc = (inc.repartition(num_partitions, SRC)
+           .persist(StorageLevel.MEMORY_AND_DISK))
 
     if fixed is None:
         fixed_ids = set()
@@ -80,7 +90,7 @@ def label_propagation(graph: Graph, weights: bool | None = None,
 
     stable_rounds = 0
     for step in range(start, max_iter):
-        parity = step % 2
+        round_parity = step % 2
         tally = (inc.join(state.select(F.col(ID).alias(SRC),
                                        F.col("label").alias("nbr_label")), SRC)
                  .where(F.col("nbr_label").isNotNull())
@@ -90,8 +100,10 @@ def label_propagation(graph: Graph, weights: bool | None = None,
         best = (tally.withColumn("rn", F.row_number().over(win))
                 .where("rn = 1")
                 .select(F.col(DST).alias(ID), F.col("nbr_label").alias("best")))
+        pick = (F.pmod(F.col(ID), F.lit(2)) if parity == "id"
+                else F.pmod(F.xxhash64(ID, F.lit(seed)), F.lit(2)))
         updatable = ((~F.col("fixed"))
-                     & (F.pmod(F.xxhash64(ID, F.lit(seed)), F.lit(2)) == parity)
+                     & (pick == round_parity)
                      & F.col("best").isNotNull())
         new = (state.select(ID, F.col("label").alias("prev"), "fixed")
                .join(best, ID, "left")

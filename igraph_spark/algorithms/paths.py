@@ -51,7 +51,6 @@ def bfs_distances(graph: Graph, sources, mode: str = "out",
     visited = src_df.select("source", F.col("source").alias(ID),
                             F.lit(0).cast("long").alias("dist")).persist()
     frontier = visited
-    out_parts = [visited]
     for hop in range(1, max_hops + 1):
         nxt = (frontier.join(e, frontier[ID] == e[SRC])
                .select("source", F.col(DST).alias(ID))
@@ -62,7 +61,6 @@ def bfs_distances(graph: Graph, sources, mode: str = "out",
                .persist())
         if nxt.count() == 0:
             break
-        out_parts.append(nxt)
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     e.unpersist()
@@ -160,15 +158,24 @@ def closeness(graph: Graph, mode: str = "out") -> DataFrame:
 
 def random_walks(graph: Graph, num_walks_per_vertex: int = 1,
                  length: int = 10, seed: int = 42,
-                 weights: bool | None = None) -> DataFrame:
+                 weights: bool | None = None,
+                 rng: str = "xxhash") -> DataFrame:
     """Deterministic pseudo-random walks (DeepWalk-style corpus
     generation; reference analog /root/reference/src/random_walk.c) ->
     DataFrame(walk_id, step, id).
 
-    Each step picks the k-th out-neighbor where k =
-    xxhash64(walk_id, step, seed) mod outdeg — hash-based, so the walk
-    corpus is reproducible at any parallelism.  Walks that reach a sink
-    stop early.  One join per step over all walks simultaneously.
+    Two equivalent uniform step rules, both hash-driven so the walk
+    corpus is reproducible at any parallelism:
+
+      * rng='xxhash' (default): pick the k-th out-neighbor with
+        k = xxhash64(walk_id, step, seed) mod outdeg.
+      * rng='md5': pick the out-neighbor minimizing the md5 hex string
+        of '{walk_id}:{step}:{seed}:{dst}' — each neighbor is equally
+        likely to hold the minimum, and md5 exists verbatim in ANSI-SQL
+        engines, so a DuckDB oracle can replay the walks exactly.
+
+    Walks that reach a sink stop early.  One join per step over all
+    walks simultaneously.
     """
     from pyspark.sql import Window
     spark = graph.edges.sparkSession
@@ -189,13 +196,25 @@ def random_walks(graph: Graph, num_walks_per_vertex: int = 1,
     parts = [walks0]
     cur = walks0.persist()
     for step in range(1, length):
-        pick = F.pmod(F.xxhash64("walk_id", F.lit(step), F.lit(seed)),
-                      F.col("maxk") + 1)
-        nxt = (cur.join(adj, cur[ID] == adj[SRC])
-               .where(F.col("k") == pick)
-               .select("walk_id", F.lit(step).cast("long").alias("step"),
-                       F.col(DST).alias(ID))
-               .persist())
+        if rng == "md5":
+            h = F.md5(F.concat_ws(
+                ":", F.col("walk_id"), F.lit(step), F.lit(seed), F.col(DST)))
+            pick_win = Window.partitionBy("walk_id").orderBy(h.asc(),
+                                                             F.col(DST).asc())
+            nxt = (cur.join(adj, cur[ID] == adj[SRC])
+                   .withColumn("rn", F.row_number().over(pick_win))
+                   .where("rn = 1")
+                   .select("walk_id", F.lit(step).cast("long").alias("step"),
+                           F.col(DST).alias(ID))
+                   .persist())
+        else:
+            pick = F.pmod(F.xxhash64("walk_id", F.lit(step), F.lit(seed)),
+                          F.col("maxk") + 1)
+            nxt = (cur.join(adj, cur[ID] == adj[SRC])
+                   .where(F.col("k") == pick)
+                   .select("walk_id", F.lit(step).cast("long").alias("step"),
+                           F.col(DST).alias(ID))
+                   .persist())
         if nxt.count() == 0:
             break
         parts.append(nxt)

@@ -60,11 +60,9 @@ def _oriented(graph: Graph) -> tuple[DataFrame, DataFrame]:
     return oriented, deg
 
 
-def triangles_df(graph: Graph) -> DataFrame:
-    """All triangles, one row each -> DataFrame(a, b, c) with a<b<c
-    (by vertex id)."""
-    oriented, _ = _oriented(graph)
-    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
+def _wedge_close(oriented: DataFrame) -> DataFrame:
+    """The two chained equi joins over a (cached) oriented table ->
+    DataFrame(a, b, c), a<b<c."""
     e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"),
                          F.col("khi").alias("ky"))
     e2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"),
@@ -73,16 +71,32 @@ def triangles_df(graph: Graph) -> DataFrame:
               .select("x", "y", "z"))
     closing = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
     tri = wedges.join(closing, ["y", "z"])
-    out = tri.select(
+    return tri.select(
         F.least("x", "y", "z").alias("a"),
         F.greatest(F.least("x", "y"), F.least(F.greatest("x", "y"), F.col("z"))).alias("b"),
         F.greatest("x", "y", "z").alias("c"))
-    return out
+
+
+def triangles_df(graph: Graph, _oriented_df: DataFrame | None = None
+                 ) -> DataFrame:
+    """All triangles, one row each -> DataFrame(a, b, c) with a<b<c
+    (by vertex id).  Pass a pre-built (and pre-persisted) oriented table
+    via ``_oriented_df`` to share it across computations; otherwise the
+    lazy result recomputes orientation per action (callers that run a
+    single action should use the cached helpers below)."""
+    if _oriented_df is None:
+        _oriented_df, _ = _oriented(graph)
+    return _wedge_close(_oriented_df)
 
 
 def triangle_count(graph: Graph) -> int:
     """Global triangle count (each triangle once)."""
-    return triangles_df(graph).count()
+    oriented, _ = _oriented(graph)
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _wedge_close(oriented).count()
+    finally:
+        oriented.unpersist()
 
 
 def adjacent_triangles(graph: Graph) -> DataFrame:
@@ -101,13 +115,19 @@ def adjacent_triangles(graph: Graph) -> DataFrame:
 def transitivity_undirected(graph: Graph, mode: str = "nan") -> float:
     """Global transitivity = 3*triangles / #connected-triples
     (igraph_transitivity_undirected, triangles.c:617-699).
-    mode 'nan'|'zero' controls the no-triples result (triangles.c:600-602)."""
+    mode 'nan'|'zero' controls the no-triples result (triangles.c:600-602).
+    The oriented table is built once and shared by the triple count and
+    the wedge-close join."""
     oriented, deg = _oriented(graph)
-    triples = (deg.agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2))
-               .first()[0]) or 0
-    if triples == 0:
-        return float("nan") if mode == "nan" else 0.0
-    tri = triangle_count(graph)
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        triples = (deg.agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2))
+                   .first()[0]) or 0
+        if triples == 0:
+            return float("nan") if mode == "nan" else 0.0
+        tri = _wedge_close(oriented).count()
+    finally:
+        oriented.unpersist()
     return 3.0 * tri / float(triples)
 
 

@@ -139,6 +139,10 @@ class SuperstepRunner:
             lineage = (partition_lineage(reloaded)
                        if self.lineage_fingerprint else [])
             self._write_manifest(step, path, lineage, self._params)
+            # the caller-persisted input is superseded by the reload —
+            # drop it here, or one cached DF leaks per durable round
+            new_state.unpersist()
+            self._prune_states(keep=path)
             out = reloaded
         elif (step + 1) % self.checkpoint_every == 0:
             # a BSP round typically references the previous state more
@@ -147,6 +151,12 @@ class SuperstepRunner:
             # checkpoint_every rounds caps the fan-out at
             # 2^checkpoint_every subtrees (keep it <= ~5)
             out = new_state.localCheckpoint(eager=True)
+            new_state.unpersist()
+        elif new_state.storageLevel != StorageLevel.NONE:
+            # caller already persisted (and materialized via its own
+            # convergence aggregate) — re-persisting would only emit
+            # "already cached" noise and a redundant count
+            out = new_state
         else:
             out = new_state.persist(self.storage)
             out.count()  # materialize so the old state can be dropped
@@ -154,6 +164,17 @@ class SuperstepRunner:
             self._prev.unpersist()
         self._prev = out
         return out
+
+    def _prune_states(self, keep: str) -> None:
+        """Delete superseded durable state_* directories once a newer
+        checkpoint has been committed to the manifest (the manifest
+        points at ``keep``; anything older is unreachable)."""
+        import shutil
+        base = os.path.basename(keep)
+        for name in sorted(os.listdir(self.run_dir)):
+            if name.startswith("state_") and name < base:
+                shutil.rmtree(os.path.join(self.run_dir, name),
+                              ignore_errors=True)
 
     def finish(self, result: DataFrame, completed: bool = True) -> None:
         """Record the run result.  ``completed=True`` marks the run

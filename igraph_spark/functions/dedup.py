@@ -43,33 +43,51 @@ def dedup_exact(docs: DataFrame, col: str = "text") -> DataFrame:
     return docs.join(keep.select("doc_id"), "doc_id", "left_semi")
 
 
-def _shingles(col: str, n: int = 5) -> F.Column:
-    """Character n-gram shingle hashes (distinct) as array<long>."""
+def _hash32(col: F.Column) -> F.Column:
+    """Portable 32-bit string hash: the first 8 hex chars of md5,
+    parsed as an integer — identical in any engine with md5()
+    (DuckDB: CAST('0x'||substr(md5(s),1,8) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _shingles(col: str, n: int = 5, hash: str = "xxhash64") -> F.Column:
+    """Character n-gram shingle hashes (distinct) as array<long>.
+    hash='md5_32' uses the portable 32-bit md5 prefix (SQL-replayable)
+    instead of xxhash64."""
     txt = F.lower(F.regexp_replace(F.col(col), r"\s+", " "))
     ln = F.length(txt)
     idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
+    hfn = _hash32 if hash == "md5_32" else F.xxhash64
     return F.array_distinct(
-        F.transform(idx, lambda i: F.xxhash64(txt.substr(i, F.lit(n)))))
+        F.transform(idx, lambda i: hfn(txt.substr(i, F.lit(n)))))
+
+
+def minhash_consts(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash constants from sha256 —
+    shared with the driver oracle so DuckDB can replay the exact
+    signatures."""
+    import hashlib
+    consts = []
+    for i in range(num_hashes):
+        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        a = (int.from_bytes(h[:8], "big") % (MERSENNE31 - 1)) | 1
+        b = int.from_bytes(h[8:16], "big") % MERSENNE31
+        consts.append((a, b))
+    return consts
 
 
 def minhash_signatures(docs: DataFrame, col: str = "text",
                        num_hashes: int = 32, shingle: int = 5,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42, hash: str = "xxhash64") -> DataFrame:
     """-> (doc_id, sig: array<long>[num_hashes]).
 
     min over shingle hashes of (a_i*x + b_i) mod M31, with (a_i, b_i)
     fixed odd constants derived from sha256(seed, i); 31-bit modulus so
     the product stays inside int64 (Spark ANSI overflow checking).
+    ``hash`` selects the shingle hash (see _shingles).
     """
-    consts = []
-    for i in range(num_hashes):
-        # driver-side constant derivation (deterministic, no RNG state)
-        import hashlib
-        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
-        a = (int.from_bytes(h[:8], "big") % (MERSENNE31 - 1)) | 1
-        b = int.from_bytes(h[8:16], "big") % MERSENNE31
-        consts.append((a, b))
-    sh = _shingles(col, shingle).alias("sh")
+    consts = minhash_consts(num_hashes, seed)
+    sh = _shingles(col, shingle, hash).alias("sh")
     base = docs.select("doc_id", sh)
 
     def _perm(a: int, b: int):
@@ -85,22 +103,31 @@ def minhash_signatures(docs: DataFrame, col: str = "text",
 def minhash_lsh_pairs(docs: DataFrame, col: str = "text",
                       num_hashes: int = 32, bands: int = 8,
                       shingle: int = 5, threshold: float = 0.6,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42, hash: str = "xxhash64") -> DataFrame:
     """Near-duplicate pairs via banded LSH -> (a, b, jaccard_est).
 
     Bands of r = num_hashes/bands rows; docs sharing any band bucket
     become candidates; the estimate is the fraction of agreeing
-    minhashes.  Pairs below ``threshold`` are dropped.
+    minhashes.  Pairs below ``threshold`` are dropped.  With
+    hash='md5_32' both the shingle hash and the band-bucket key are
+    md5-derived, so the whole pipeline is replayable in DuckDB.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, col, num_hashes, shingle, seed).persist()
+    sigs = minhash_signatures(docs, col, num_hashes, shingle, seed,
+                              hash).persist()
+    if hash == "md5_32":
+        def _bucket(bi: int) -> F.Column:
+            return F.md5(F.concat_ws(
+                ":", *[F.col("sig")[bi * r + j].cast("string")
+                       for j in range(r)]))
+    else:
+        def _bucket(bi: int) -> F.Column:
+            return F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)])
     buckets = sigs.select(
         "doc_id",
         F.explode(F.array(*[
-            F.struct(F.lit(bi).alias("band"),
-                     F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)])
-                     .alias("bucket"))
+            F.struct(F.lit(bi).alias("band"), _bucket(bi).alias("bucket"))
             for bi in range(bands)])).alias("bk"))
     buckets = buckets.select("doc_id", "bk.band", "bk.bucket")
     cand = (buckets.alias("x").join(
@@ -125,22 +152,27 @@ def minhash_lsh_pairs(docs: DataFrame, col: str = "text",
     return est.where(F.col("jaccard_est") >= threshold)
 
 
-def simhash(docs: DataFrame, col: str = "text") -> DataFrame:
-    """64-bit SimHash over word tokens -> (doc_id, simhash).
+def simhash(docs: DataFrame, col: str = "text",
+            hash: str = "xxhash64") -> DataFrame:
+    """SimHash over word tokens -> (doc_id, simhash).
 
-    Per bit: sum of +/-1 votes from each token's xxhash64; bit set when
+    Per bit: sum of +/-1 votes from each token's hash; bit set when
     the vote is positive.  Pure Catalyst: aggregate over the token
-    array with bitwise ops.
+    array with bitwise ops.  hash='xxhash64' gives the 64-bit default;
+    hash='md5_32' gives a 32-bit signature whose token hash is the md5
+    prefix — same scheme, replayable in DuckDB.
     """
+    nbits = 32 if hash == "md5_32" else 64
+    hfn = _hash32 if hash == "md5_32" else F.xxhash64
     words = F.filter(F.split(F.lower(F.trim(F.col(col))), r"\s+"),
                      lambda w: F.length(w) > 0)
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    hashes = F.transform(words, lambda w: hfn(w))
     def _vote(bit: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
 
     bits = []
-    for bit in range(64):
+    for bit in range(nbits):
         vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(bit))
         bits.append(F.when(vote > 0,
                            F.shiftleft(F.lit(1).cast("long"), bit))
@@ -152,20 +184,26 @@ def simhash(docs: DataFrame, col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(docs: DataFrame, col: str = "text",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       hash: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash -> (a, b, hamming).
 
-    Blocking: 4 x 16-bit bands (any pair within Hamming<=3 of a 64-bit
-    hash agrees exactly on at least one band — pigeonhole), then exact
-    Hamming verify via bit_count(xor).
+    Blocking: max_hamming+1 = 4 equal-width bands (any pair within
+    Hamming<=3 agrees exactly on at least one band — pigeonhole), then
+    exact Hamming verify via bit_count(xor).  64-bit signatures use
+    4 x 16-bit bands; the portable 32-bit variant (hash='md5_32') uses
+    4 x 8-bit bands — same guarantee.
     """
-    sh = simhash(docs, col).persist()
+    nbits = 32 if hash == "md5_32" else 64
+    width = nbits // 4
+    mask = (1 << width) - 1
+    sh = simhash(docs, col, hash).persist()
     bands = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.shiftright("simhash", i * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+                     F.shiftright("simhash", i * width)
+                     .bitwiseAND(F.lit(mask)).alias("key"))
             for i in range(4)])).alias("bk"))
     bands = bands.select("doc_id", "simhash", "bk.band", "bk.key")
     cand = (bands.alias("x").join(

@@ -91,20 +91,29 @@ def language_id(docs: DataFrame, col: str = "text") -> DataFrame:
 
 
 def fingerprint(docs: DataFrame, col: str = "text",
-                window: int = 8) -> DataFrame:
+                window: int = 8, hash: str = "xxhash64") -> DataFrame:
     """Winnowing-style document fingerprint -> (doc_id, fingerprint).
 
-    Rolling scheme: xxhash64 of each ``window``-token shingle, keep the
-    minimum hash — a deterministic 64-bit content signature robust to
-    token reordering outside the window.  Pure Catalyst (transform +
+    Rolling scheme: hash each ``window``-token shingle, keep the
+    minimum — a deterministic content signature robust to token
+    reordering outside the window.  Pure Catalyst (transform +
     aggregate over the token array).
+
+    hash='xxhash64' (default) -> 64-bit long fingerprint;
+    hash='md5' -> minimum md5 hex string — same semantics, portable to
+    ANSI-SQL engines, so the driver oracle can recompute it in DuckDB.
     """
     words = F.split(F.trim(F.col(col)), r"\s+")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
-    shingles = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(
-            " ", F.slice(words, i + 1, window))))
+    if hash == "md5":
+        shingles = F.transform(
+            idx, lambda i: F.md5(F.concat_ws(
+                " ", F.slice(words, i + 1, window))))
+    else:
+        shingles = F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(
+                " ", F.slice(words, i + 1, window))))
     return docs.select(
         "doc_id",
         F.when(n >= 1, F.array_min(shingles))

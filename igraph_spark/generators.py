@@ -102,24 +102,61 @@ def gnm(spark: SparkSession, n: int, m: int, seed: int = 42,
 
     Deterministic at any parallelism: edge i's endpoints are
     xxhash64(seed, i) mod n.  With ``simple`` the sample is oversized,
-    loops/duplicates dropped, and the m lexicographically-smallest
-    candidate ids kept (stable, order-independent).
+    loops/duplicates dropped, and the m smallest surviving candidate
+    ids kept.  The "m smallest" selection is distributed — a bucketed
+    id histogram picks the cutoff bucket (driver sees <=4096 counts)
+    and only that one bucket is sorted — no global orderBy().limit(m)
+    (which ships top-m per partition to the driver).  If dedup leaves
+    fewer than m survivors the candidate pool is re-drawn doubled
+    (dense n/m combinations) instead of silently returning a smaller
+    graph.
     """
-    over = int(m * 1.25) + 16 if simple else m
-    cand = spark.range(over).select(
-        F.col("id"),
-        F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(0)), F.lit(n)).alias("src"),
-        F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(1)), F.lit(n)).alias("dst"))
-    if simple:
-        cand = cand.where("src != dst")
+    def _cand(over: int):
+        c = spark.range(over).select(
+            F.col("id"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(0)),
+                   F.lit(n)).alias("src"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(1)),
+                   F.lit(n)).alias("dst"))
+        return c
+
+    if not simple:
+        e = _cand(m).select("src", "dst")
+        return Graph(e, spark.range(n).toDF("id"), directed=directed,
+                     _canonical=False)
+
+    max_possible = n * (n - 1) if directed else n * (n - 1) // 2
+    if m > max_possible:
+        raise ValueError(f"gnm: m={m} exceeds the {max_possible} possible "
+                         f"simple edges on n={n}")
+    over = int(m * 1.25) + 16
+    for _attempt in range(8):
+        cand = _cand(over).where("src != dst")
         if not directed:
             cand = cand.select("id", F.least("src", "dst").alias("src"),
                                F.greatest("src", "dst").alias("dst"))
-        cand = (cand.groupBy("src", "dst").agg(F.min("id").alias("id"))
-                    .orderBy("id").limit(m))
-    e = cand.select("src", "dst")
-    return Graph(e, spark.range(n).toDF("id"), directed=directed,
-                 _canonical=not directed)
+        surv = cand.groupBy("src", "dst").agg(F.min("id").alias("id"))
+        bw = max(1, over // 4096)
+        hist = (surv.groupBy((F.col("id") / bw).cast("long").alias("b"))
+                .count().orderBy("b").collect())
+        total, cut_b, k_in_cut = 0, None, 0
+        for r in hist:
+            if total + r["count"] >= m:
+                cut_b, k_in_cut = int(r["b"]), m - total
+                break
+            total += int(r["count"])
+        if cut_b is None:  # undersampled after dedup: re-draw, doubled
+            over *= 2
+            continue
+        below = surv.where(F.col("id") < cut_b * bw)
+        incut = (surv.where((F.col("id") >= cut_b * bw)
+                            & (F.col("id") < (cut_b + 1) * bw))
+                 .orderBy("id").limit(k_in_cut))
+        e = below.unionByName(incut).select("src", "dst")
+        return Graph(e, spark.range(n).toDF("id"), directed=directed,
+                     _canonical=not directed)
+    raise ValueError(f"gnm: could not draw {m} simple edges on n={n} "
+                     f"after oversampling to {over}")
 
 
 def zipf_skew(spark: SparkSession, n: int, m: int, alpha: float = 2.0,

@@ -138,15 +138,38 @@ def get_stochastic(graph: Graph, column_wise: bool = False) -> DataFrame:
                     (F.col(WEIGHT) / F.sum(WEIGHT).over(w)).alias("prob"))
 
 
-def linegraph(graph: Graph) -> DataFrame:
+def linegraph(graph: Graph, ids: str = "struct") -> DataFrame:
     """igraph_linegraph (structural_properties.c:4029): vertices are
     edges of g; for directed g, edge (e1, e2) iff e1.dst == e2.src.
-    Edge ids are assigned deterministically by (src, dst) rank.
-    Returns DataFrame(src, dst) of line-graph edges."""
+    Returns DataFrame(src, dst) of line-graph edges.
+
+    ids='struct' (default, scale-safe): each line-graph vertex is the
+    edge's own identity struct(u, v, k) with k the multiplicity rank
+    within the (u, v) group — a keyed window, so no operator ever moves
+    the full edge set to one partition.  ids='dense' additionally maps
+    the structs to igraph-style 0-based longs ranked by (src, dst); the
+    rank is two-level (keyed window within each src run + a prefix-sum
+    offset over per-src counts), so the only global sort is over the
+    distinct-src table — fine at test scale, O(V)-bottlenecked beyond.
+    """
     from pyspark.sql import Window
-    e = (graph.edges.select(SRC, DST)
-         .withColumn("eid", F.row_number().over(
-             Window.orderBy(SRC, DST)).cast("long") - 1))
+    base = graph.edges.select(SRC, DST)
+    kwin = Window.partitionBy(SRC, DST).orderBy(F.lit(1))
+    e = base.withColumn(
+        "eid", F.struct(F.col(SRC).alias("u"), F.col(DST).alias("v"),
+                        (F.row_number().over(kwin) - 1).alias("k")))
+    if ids == "dense":
+        per_src = base.groupBy(SRC).agg(F.count("*").alias("cnt"))
+        offs = per_src.select(
+            SRC, (F.sum("cnt").over(Window.orderBy(SRC))
+                  - F.col("cnt")).alias("off"))
+        e = (e.join(offs, SRC)
+             .withColumn("eid", (F.col("off")
+                                 + F.row_number().over(
+                                     Window.partitionBy(SRC)
+                                     .orderBy(DST, "eid.k"))
+                                 - 1).cast("long")))
+    e = e.select(SRC, DST, "eid")
     if graph.directed:
         a = e.select(F.col("eid").alias("e1"), F.col(DST).alias("mid"))
         b = e.select(F.col("eid").alias("e2"), F.col(SRC).alias("mid"))
