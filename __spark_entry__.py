@@ -6,10 +6,14 @@ customer-supplier co-occurrence graph) at sf0.001.
 ``queries()`` exposes the engine's operators over graphs derived from
 the TPC-H-ish tables (FIXTURES.md §5) plus the documents/embeddings
 pipeline operators; ``oracle_sql()`` carries the DuckDB-equivalent SQL
-for every SQL-expressible one.  Iterative fixpoint algorithms
-(PageRank, WCC, LPA, k-core) are not single-query SQL-expressible
-(recursive CTEs cannot aggregate per iteration) and get rows-only
-checks, as the contract allows.
+for every SQL-expressible one.  Iterative algorithms run a FIXED
+superstep count (tol=0) so their oracles can unroll the identical
+iteration sequence as a MATERIALIZED-CTE chain (recursive CTEs cannot
+aggregate per iteration, but a fixed unroll can); WCC/closeness/
+betweenness use recursive-CTE reachability; hash-seeded operators
+(walks, fingerprint, minhash, simhash) run md5-portable variants whose
+hashes DuckDB reproduces bit-exactly.  Only k-core and Louvain remain
+rows-only (data-dependent wave/level counts).
 
 Derived graphs (identical definitions on both sides):
   * order_edges     — directed bipartite customer(2k) -> supplier(2k+1),
@@ -102,6 +106,17 @@ _MOD_E_SQL = """
   SELECT DISTINCT l_partkey % 211 AS src, l_suppkey % 211 AS dst
   FROM lineitem
 """
+
+# fixed iteration counts shared by the Spark queries and their unrolled
+# DuckDB oracles — a fixed prefix of a converging iteration is exactly
+# reproducible, unlike a tolerance-triggered stop
+_PR_ITERS = 20
+_EIG_ITERS = 30
+_HITS_ITERS = 20
+_LPA_SWEEPS = 16
+_WALK_LEN = 4
+_BFS_CAP = 16     # >= true max BFS distance on the mod graph (measured 2)
+_BC_LEVELS = 8    # >= BFS level count on the mod graph
 
 
 def _graph(edges: DataFrame, directed: bool):
@@ -277,17 +292,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_fingerprint(spark, sf):
         d = _t(spark, sf, "documents")
-        return text.fingerprint(d)
+        return text.fingerprint(d, hash="md5")
 
     def q_minhash_pairs(spark, sf):
         d = _t(spark, sf, "documents")
-        return (dedup.minhash_lsh_pairs(d, threshold=0.5)
+        return (dedup.minhash_lsh_pairs(d, threshold=0.5, hash="md5_32")
                 .select("a", "b", F.round("jaccard_est", 9)
                         .alias("jaccard_est")))
 
     def q_simhash_pairs(spark, sf):
         d = _t(spark, sf, "documents")
-        return dedup.simhash_near_pairs(d, max_hamming=3)
+        return dedup.simhash_near_pairs(d, max_hamming=3, hash="md5_32")
 
     def q_ann_cosine(spark, sf):
         e = _t(spark, sf, "embeddings")
@@ -313,12 +328,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(_mod_edges(spark, sf), True)
         return dyad_census(g)
 
+    def q_triad_census(spark, sf):
+        from igraph_spark.algorithms.motifs import triad_census
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            out = triad_census(g).localCheckpoint(eager=True)
+        return out
+
     def q_eigenvector(spark, sf):
+        # fixed iteration count (tol=0) so the DuckDB oracle can replay
+        # the exact same power-iteration prefix step for step
         from igraph_spark.algorithms.centrality import eigenvector_centrality
         g = _graph(_supplier_edges(spark, sf), False)
         with _lean_conf(spark):
-            out = (eigenvector_centrality(g, tol=1e-8, max_iter=80)
-                   .select("id", F.round("eigenvector", 8)
+            out = (eigenvector_centrality(g, tol=0.0, max_iter=_EIG_ITERS)
+                   .select("id", F.round("eigenvector", 6)
                            .alias("eigenvector"))
                    .localCheckpoint(eager=True))
         return out
@@ -327,9 +351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from igraph_spark.algorithms.centrality import hits
         g = _graph(_mod_edges(spark, sf), True)
         with _lean_conf(spark):
-            out = (hits(g, tol=1e-8, max_iter=60)
-                   .select("id", F.round("hub", 8).alias("hub"),
-                           F.round("authority", 8).alias("authority"))
+            out = (hits(g, tol=0.0, max_iter=_HITS_ITERS)
+                   .select("id", F.round("hub", 6).alias("hub"),
+                           F.round("authority", 6).alias("authority"))
                    .localCheckpoint(eager=True))
         return out
 
@@ -357,7 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(_mod_edges(spark, sf), True)
         with _lean_conf(spark):
             out = random_walks(g, num_walks_per_vertex=1, length=4,
-                               seed=42).localCheckpoint(eager=True)
+                               seed=42, rng="md5").localCheckpoint(eager=True)
         return out
 
     def q_ann_near_dup(spark, sf):
@@ -365,11 +389,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (ann.cosine_near_dup_pairs(e, threshold=0.4)
                 .select("a", "b", F.round("cosine", 6).alias("cosine")))
 
-    # ---------------- iterative (rows-only: no single-SQL equivalent)
+    # ---------------- iterative fixpoints (fixed iteration counts so the
+    # DuckDB oracle can replay the exact superstep sequence by unrolling)
     def q_pagerank(spark, sf):
         g = _graph(_order_edges(spark, sf), True)
         with _lean_conf(spark):
-            out = (pagerank(g, weights=True, tol=1e-8, max_iter=40)
+            out = (pagerank(g, weights=True, tol=0.0, max_iter=_PR_ITERS)
                    .select("id", F.round("pagerank", 8).alias("pagerank"))
                    .localCheckpoint(eager=True))
         return out
@@ -383,7 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lpa_community_sizes(spark, sf):
         g = _graph(_supplier_edges(spark, sf), False)
         with _lean_conf(spark):
-            mem = label_propagation(g, weights=True, max_iter=30)
+            mem = label_propagation(g, weights=True, max_iter=_LPA_SWEEPS,
+                                    parity="id")
             out = (mem.groupBy("label").agg(F.count("*").alias("size"))
                    .orderBy("label").localCheckpoint(eager=True))
         return out
@@ -435,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_near_dup": q_ann_near_dup,
         "bfs": q_bfs,
         "dyad_census": q_dyad_census,
+        "triad_census": q_triad_census,
         "eigenvector": q_eigenvector,
         "hits": q_hits,
         "betweenness": q_betweenness,
@@ -446,6 +473,477 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_sizes": q_louvain_sizes,
         "kcore": q_kcore,
     }
+
+
+# --------------------------------------------------------- oracle builders
+# Unrolled fixed-iteration SQL: each BSP superstep becomes one pair of
+# MATERIALIZED CTEs (DuckDB materializes them once, so a 20-step unroll
+# is linear work, not exponential plan-doubling).  The recurrences below
+# mirror the Spark implementations expression for expression.
+
+def _pagerank_oracle(iters: int, d: float = 0.85) -> str:
+    fact = 1.0 - d
+    sql = f"""
+WITH e AS MATERIALIZED ({_ORDER_E_SQL}),
+v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM v),
+outd AS MATERIALIZED (
+  SELECT src, sum(greatest(weight, 0.0)) AS outdeg FROM e GROUP BY 1),
+links AS MATERIALIZED (
+  SELECT e.dst, e.src, e.weight / o.outdeg AS nw
+  FROM e JOIN outd o ON o.src = e.src WHERE o.outdeg <> 0),
+vinfo AS MATERIALIZED (
+  SELECT v.id, coalesce(o.outdeg, 0.0) = 0.0 AS dangling
+  FROM v LEFT JOIN outd o ON o.src = v.id),
+s0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM v)"""
+    prev = "s0"
+    for k in range(1, iters + 1):
+        sql += f""",
+agg{k} AS MATERIALIZED (
+  SELECT sum(CASE WHEN vi.dangling THEN s.pr ELSE s.pr * {fact!r} END)
+           AS sumfrom,
+         sum(s.pr) AS total
+  FROM {prev} s JOIN vinfo vi ON vi.id = s.id),
+flow{k} AS MATERIALIZED (
+  SELECT l.dst AS id, sum(s.pr * l.nw) AS flow
+  FROM links l JOIN {prev} s ON s.id = l.src GROUP BY 1),
+s{k} AS MATERIALIZED (
+  SELECT v.id,
+         ({d!r} * coalesce(f.flow, 0.0)
+          + (SELECT sumfrom FROM agg{k}) * (1.0 / (SELECT n FROM nn)))
+         / (SELECT total FROM agg{k}) AS pr
+  FROM v LEFT JOIN flow{k} f ON f.id = v.id)"""
+        prev = f"s{k}"
+    sql += f"""
+SELECT id, round(pr / (SELECT sum(pr) FROM {prev}), 8) AS pagerank
+FROM {prev}"""
+    return sql
+
+
+def _eigenvector_oracle(iters: int) -> str:
+    # undirected supplier graph: symmetrized weighted adjacency,
+    # x_k = ((A + I) x_(k-1)) / max|x_(k-1)|, final max-normalization
+    sql = f"""
+WITH se AS MATERIALIZED ({_SUPPLIER_E_SQL}),
+sym AS MATERIALIZED (
+  SELECT src AS s, dst AS d, weight FROM se
+  UNION ALL SELECT dst, src, weight FROM se),
+v AS MATERIALIZED (SELECT src AS id FROM se UNION SELECT dst FROM se),
+x0 AS MATERIALIZED (SELECT id, 1.0 AS x FROM v)"""
+    prev = "x0"
+    for k in range(1, iters + 1):
+        sql += f""",
+f{k} AS MATERIALIZED (
+  SELECT sym.d AS id, sum(s.x * sym.weight) AS f
+  FROM sym JOIN {prev} s ON s.id = sym.s GROUP BY 1),
+x{k} AS MATERIALIZED (
+  SELECT v.id,
+         (coalesce(f.f, 0.0) + 1.0 * s.x)
+         / (SELECT max(abs(x)) FROM {prev}) AS x
+  FROM v JOIN {prev} s ON s.id = v.id
+  LEFT JOIN f{k} f ON f.id = v.id)"""
+        prev = f"x{k}"
+    sql += f"""
+SELECT id, round(x / (SELECT max(abs(x)) FROM {prev}), 6) AS eigenvector
+FROM {prev}"""
+    return sql
+
+
+def _hits_oracle(iters: int) -> str:
+    # directed mod graph, unit weights: h_k = A A^T h_(k-1), max-normalized
+    # per round; authorities from the final hubs
+    sql = f"""
+WITH e AS MATERIALIZED ({_MOD_E_SQL}),
+v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM v)"""
+    prev = "h0"
+    for k in range(1, iters + 1):
+        sql += f""",
+a{k} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(h.hub) AS a_raw
+  FROM e JOIN {prev} h ON h.id = e.src GROUP BY 1),
+hr{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(x.h_raw, 0.0) AS hub
+  FROM v LEFT JOIN (
+    SELECT e.src AS id, sum(a.a_raw) AS h_raw
+    FROM e JOIN a{k} a ON a.id = e.dst GROUP BY 1) x ON x.id = v.id),
+h{k} AS MATERIALIZED (
+  SELECT id, hub / (SELECT max(abs(hub)) FROM hr{k}) AS hub FROM hr{k})"""
+        prev = f"h{k}"
+    sql += f""",
+af AS MATERIALIZED (
+  SELECT e.dst AS id, sum(h.hub) AS a_raw
+  FROM e JOIN {prev} h ON h.id = e.src GROUP BY 1)
+SELECT v.id, round(coalesce(h.hub, 0.0), 6) AS hub,
+       round(coalesce(a.a_raw / (SELECT max(abs(a_raw)) FROM af), 0.0), 6)
+           AS authority
+FROM v LEFT JOIN {prev} h ON h.id = v.id
+LEFT JOIN af a ON a.id = v.id"""
+    return sql
+
+
+def _lpa_oracle(sweeps: int) -> str:
+    # weighted supplier graph, semi-synchronous sweeps gated on id%2 ==
+    # sweep parity, deterministic (weight desc, label asc) tie-break,
+    # dense first-appearance relabel -> (label, size)
+    sql = f"""
+WITH se AS MATERIALIZED ({_SUPPLIER_E_SQL}),
+inc AS MATERIALIZED (
+  SELECT src AS s, dst AS d, weight FROM se WHERE src <> dst
+  UNION ALL SELECT dst, src, weight FROM se WHERE src <> dst),
+v AS MATERIALIZED (SELECT src AS id FROM se UNION SELECT dst FROM se),
+l0 AS MATERIALIZED (SELECT id, id AS label FROM v)"""
+    prev = "l0"
+    for k in range(1, sweeps + 1):
+        par = (k - 1) % 2
+        sql += f""",
+t{k} AS MATERIALIZED (
+  SELECT i.d AS id, s.label, sum(i.weight) AS w
+  FROM inc i JOIN {prev} s ON s.id = i.s GROUP BY 1, 2),
+b{k} AS MATERIALIZED (
+  SELECT id, label AS best FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY w DESC, label ASC) AS rn
+    FROM t{k}) WHERE rn = 1),
+l{k} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.id % 2 = {par} AND b.best IS NOT NULL
+              THEN b.best ELSE s.label END AS label
+  FROM v JOIN {prev} s ON s.id = v.id
+  LEFT JOIN b{k} b ON b.id = v.id)"""
+        prev = f"l{k}"
+    sql += f""",
+firsts AS (SELECT label, min(id) AS first_id FROM {prev} GROUP BY 1),
+mapping AS (SELECT label,
+                   dense_rank() OVER (ORDER BY first_id) - 1 AS new_label
+            FROM firsts)
+SELECT CAST(m.new_label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS size
+FROM {prev} s JOIN mapping m ON m.label = s.label
+GROUP BY 1"""
+    return sql
+
+
+def _wcc_sizes_oracle() -> str:
+    # weak components of the (symmetrized) order graph: comp(v) = min
+    # reachable id via transitive closure, dense-ranked -> (component, size)
+    return f"""
+WITH RECURSIVE e AS ({_ORDER_E_SQL}),
+sym AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+v AS (SELECT DISTINCT id FROM (
+        SELECT src AS id FROM sym UNION ALL SELECT dst FROM sym)),
+r AS (SELECT id AS root, id AS node FROM v
+      UNION
+      SELECT r.root, s.dst FROM r JOIN sym s ON s.src = r.node),
+comp AS (SELECT root AS id, min(node) AS comp FROM r GROUP BY 1),
+mapping AS (SELECT comp,
+                   dense_rank() OVER (ORDER BY comp) - 1 AS component
+            FROM (SELECT DISTINCT comp FROM comp))
+SELECT CAST(m.component AS BIGINT) AS component,
+       CAST(count(*) AS BIGINT) AS size
+FROM comp c JOIN mapping m USING (comp) GROUP BY 1"""
+
+
+def _mod_dist_ctes(cap: int) -> str:
+    """Shared recursive min-distance CTE block over the mod graph."""
+    # NOTE: inside WITH RECURSIVE, DuckDB (1.0.0) does NOT deduplicate a
+    # plain UNION in a non-self-referencing CTE — dedup must be explicit
+    return f"""
+WITH RECURSIVE em AS ({_MOD_E_SQL}),
+e AS (SELECT * FROM em WHERE src <> dst),
+v AS (SELECT DISTINCT id FROM (
+        SELECT src AS id FROM em UNION ALL SELECT dst FROM em)),
+r AS (SELECT id AS source, id, 0 AS dist FROM v
+      UNION
+      SELECT r.source, e.dst, r.dist + 1
+      FROM r JOIN e ON e.src = r.id WHERE r.dist < {cap}),
+md AS (SELECT source, id, min(dist) AS dist FROM r GROUP BY 1, 2)"""
+
+
+def _closeness_oracle(cap: int) -> str:
+    return _mod_dist_ctes(cap) + """
+SELECT source AS id,
+       round(CAST(reached AS DOUBLE) / CAST(total AS DOUBLE), 9)
+           AS closeness
+FROM (SELECT source, sum(dist) AS total, count(*) AS reached
+      FROM md WHERE dist > 0 GROUP BY 1)"""
+
+
+def _betweenness_oracle(levels: int) -> str:
+    # Brandes unrolled by BFS level: sigma forward, delta backward.
+    # sig{k} holds only level-k (source, vertex) rows; delta{k} carries
+    # (sigma, delta) so the backward sweep needs no extra joins.
+    sql = _mod_dist_ctes(levels) + """,
+sig0 AS MATERIALIZED (
+  SELECT id AS source, id, CAST(1 AS DOUBLE) AS sigma FROM v)"""
+    for k in range(1, levels + 1):
+        sql += f""",
+sig{k} AS MATERIALIZED (
+  SELECT p.source, d.id, sum(p.sigma) AS sigma
+  FROM md d JOIN e ON e.dst = d.id
+  JOIN sig{k - 1} p ON p.source = d.source AND p.id = e.src
+  WHERE d.dist = {k}
+  GROUP BY 1, 2)"""
+    sql += f""",
+delta{levels} AS MATERIALIZED (
+  SELECT source, id, sigma, 0.0 AS delta FROM sig{levels})"""
+    for k in range(levels - 1, -1, -1):
+        sql += f""",
+delta{k} AS MATERIALIZED (
+  SELECT s.source, s.id, s.sigma, coalesce(c.c, 0.0) AS delta
+  FROM sig{k} s LEFT JOIN (
+    SELECT w.source, e.src AS vid,
+           sum(sv.sigma / w.sigma * (1.0 + w.delta)) AS c
+    FROM delta{k + 1} w JOIN e ON e.dst = w.id
+    JOIN sig{k} sv ON sv.source = w.source AND sv.id = e.src
+    GROUP BY 1, 2) c
+  ON c.source = s.source AND c.vid = s.id)"""
+    unions = "\nUNION ALL ".join(
+        f"SELECT source, id, delta FROM delta{k} WHERE id <> source"
+        for k in range(0, levels))
+    sql += f""",
+allp AS ({unions})
+SELECT v.id, round(coalesce(b.bc, 0.0), 6) AS betweenness
+FROM v LEFT JOIN (SELECT id, sum(delta) AS bc FROM allp GROUP BY 1) b
+ON b.id = v.id"""
+    return sql
+
+
+def _random_walks_oracle(length: int, seed: int = 42) -> str:
+    # md5-argmin step rule over the mod graph's distinct out-adjacency;
+    # walk_id = vertex id (one walk per vertex)
+    sql = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({_MOD_E_SQL})),
+v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+w0 AS MATERIALIZED (
+  SELECT id AS walk_id, CAST(0 AS BIGINT) AS step, id FROM v)"""
+    prev = "w0"
+    for step in range(1, length):
+        sql += f""",
+w{step} AS MATERIALIZED (
+  SELECT walk_id, CAST({step} AS BIGINT) AS step, id FROM (
+    SELECT c.walk_id, e.dst AS id,
+           row_number() OVER (
+             PARTITION BY c.walk_id
+             ORDER BY md5(c.walk_id || ':' || {step} || ':' || {seed}
+                          || ':' || e.dst) ASC, e.dst ASC) AS rn
+    FROM {prev} c JOIN e ON e.src = c.id) WHERE rn = 1)"""
+        prev = f"w{step}"
+    unions = "\nUNION ALL ".join(
+        f"SELECT walk_id, step, id FROM w{s}" for s in range(length))
+    sql += f"\n{unions}"
+    return sql
+
+
+def _triad_census_oracle() -> str:
+    # wedge-join enumeration of >=2-dyad triples, classified per
+    # motifs.c:975-1012; single-dyad classes via the census_24 identity
+    base_rows = "\nUNION ALL ".join(f"SELECT '{t}' AS triad"
+                                    for t in ["003", "012", "102", "021D",
+                                              "021U", "021C", "111D", "111U",
+                                              "030T", "030C", "201", "120D",
+                                              "120U", "120C", "210", "300"])
+    return f"""
+WITH em AS MATERIALIZED ({_MOD_E_SQL}),
+e AS (SELECT * FROM em WHERE src <> dst),
+v AS (SELECT src AS id FROM em UNION SELECT dst FROM em),
+p AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         bool_or(src < dst) AS fab, bool_or(src > dst) AS fba
+  FROM e GROUP BY 1, 2),
+inc AS MATERIALIZED (
+  SELECT a AS v, b AS o, fab AS f_vo, fba AS f_ov FROM p
+  UNION ALL SELECT b, a, fba, fab FROM p),
+w AS MATERIALIZED (
+  SELECT x.b1, x.b2, y.b3, y.b4,
+         coalesce(t.t12, FALSE) AS b5, coalesce(t.t21, FALSE) AS b6
+  FROM (SELECT v, o AS o1, f_vo AS b1, f_ov AS b2 FROM inc) x
+  JOIN (SELECT v, o AS o2, f_vo AS b3, f_ov AS b4 FROM inc) y
+    ON x.v = y.v AND x.o1 < y.o2
+  LEFT JOIN (SELECT a AS o1, b AS o2, fab AS t12, fba AS t21 FROM p) t
+    ON t.o1 = x.o1 AND t.o2 = y.o2
+  WHERE t.t12 IS NULL OR x.v < x.o1),
+cls AS MATERIALIZED (
+  SELECT (CASE WHEN b1 AND b2 THEN 1 ELSE 0 END
+          + CASE WHEN b3 AND b4 THEN 1 ELSE 0 END
+          + CASE WHEN b5 AND b6 THEN 1 ELSE 0 END) AS m,
+         (CASE WHEN b1 <> b2 THEN 1 ELSE 0 END
+          + CASE WHEN b3 <> b4 THEN 1 ELSE 0 END
+          + CASE WHEN b5 <> b6 THEN 1 ELSE 0 END) AS a,
+         b1, b2, b3, b4, b5, b6
+  FROM w),
+named AS MATERIALIZED (
+  SELECT m, a,
+    CASE
+      WHEN m = 0 AND a = 2 THEN
+        CASE WHEN b1 AND b3 THEN '021D'
+             WHEN b2 AND b4 THEN '021U' ELSE '021C' END
+      WHEN m = 0 AND a = 3 THEN
+        CASE WHEN (b1 AND b5 AND b4) OR (b3 AND b6 AND b2)
+             THEN '030C' ELSE '030T' END
+      WHEN m = 1 AND a = 1 THEN
+        CASE WHEN b1 AND b2
+             THEN (CASE WHEN b4 THEN '111D' ELSE '111U' END)
+             ELSE (CASE WHEN b2 THEN '111D' ELSE '111U' END) END
+      WHEN m = 1 AND a = 2 THEN
+        CASE WHEN b5 AND b6 THEN
+               CASE WHEN b1 AND b3 THEN '120D'
+                    WHEN b2 AND b4 THEN '120U' ELSE '120C' END
+             WHEN b1 AND b2 THEN
+               CASE WHEN b4 AND b6 THEN '120D'
+                    WHEN b3 AND b5 THEN '120U' ELSE '120C' END
+             ELSE
+               CASE WHEN b2 AND b5 THEN '120D'
+                    WHEN b1 AND b6 THEN '120U' ELSE '120C' END END
+      WHEN m = 2 AND a = 0 THEN '201'
+      WHEN m = 2 AND a = 1 THEN '210'
+      ELSE '300' END AS triad
+  FROM cls),
+agg2 AS MATERIALIZED (
+  SELECT triad, count(*) AS c, sum(m) AS inc_m, sum(a) AS inc_a
+  FROM named GROUP BY 1),
+tot AS MATERIALIZED (
+  SELECT (SELECT count(*) FROM v) AS n,
+         (SELECT coalesce(sum(CASE WHEN fab AND fba THEN 1 ELSE 0 END), 0)
+          FROM p) AS mu,
+         (SELECT coalesce(sum(CASE WHEN fab <> fba THEN 1 ELSE 0 END), 0)
+          FROM p) AS asym,
+         (SELECT coalesce(sum(inc_m), 0) FROM agg2) AS incm,
+         (SELECT coalesce(sum(inc_a), 0) FROM agg2) AS inca,
+         (SELECT coalesce(sum(c), 0) FROM agg2) AS c2plus),
+base AS ({base_rows})
+SELECT b.triad,
+       CAST(CASE b.triad
+         WHEN '012' THEN (SELECT asym * (n - 2) - inca FROM tot)
+         WHEN '102' THEN (SELECT mu * (n - 2) - incm FROM tot)
+         WHEN '003' THEN (SELECT (n * (n - 1) * (n - 2)) // 6 - c2plus
+                                 - (asym * (n - 2) - inca)
+                                 - (mu * (n - 2) - incm) FROM tot)
+         ELSE coalesce((SELECT c FROM agg2 WHERE agg2.triad = b.triad), 0)
+       END AS BIGINT) AS count
+FROM base b"""
+
+
+def _langid_oracle() -> str:
+    from igraph_spark.functions.text import _STOPWORDS
+    rows = []
+    for lang, sws in _STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in sws)
+        rows.append(f"SELECT doc_id, '{lang}' AS lang, {-ord(lang[0])} AS tie,"
+                    f" len(list_filter(words, w -> list_contains([{lst}], w)))"
+                    f" AS v FROM toks")
+    votes = "\nUNION ALL ".join(rows)
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g')))
+             AS words
+  FROM documents),
+votes AS ({votes}),
+best AS (
+  SELECT doc_id, lang, v,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY v DESC, tie DESC, lang DESC) AS rn
+  FROM votes)
+SELECT doc_id,
+       CASE WHEN v > 0 THEN lang ELSE 'und' END AS lang_pred,
+       CAST(v AS BIGINT) AS lang_votes
+FROM best WHERE rn = 1"""
+
+
+def _fingerprint_oracle(window: int = 8) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents)
+SELECT doc_id,
+       list_min(list_transform(
+         range(0, greatest(len(words) - {window}, 0) + 1),
+         i -> md5(array_to_string(words[i + 1 : i + {window}], ' '))))
+           AS fingerprint
+FROM toks"""
+
+
+_HEX32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8,
+                    shingle: int = 5, threshold: float = 0.5,
+                    seed: int = 42) -> str:
+    from igraph_spark.functions.dedup import minhash_consts, MERSENNE31
+    consts = minhash_consts(num_hashes, seed)
+    r = num_hashes // bands
+    m31 = MERSENNE31
+    hx = _HEX32.format(expr=f"substr(txt, i, {shingle})")
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh,"
+        f" x -> (CAST({a} AS BIGINT) * (x % {m31}) % {m31} + {b}) % {m31}))"
+        for a, b in consts)
+    band_rows = "\nUNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, md5({cat}) AS bucket FROM sigs".format(
+            bi=bi,
+            cat=" || ':' || ".join(f"sig[{bi * r + j + 1}]"
+                                   for j in range(r)))
+        for bi in range(bands))
+    return rf"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(txt) - {shingle - 1}, 1) + 1),
+           i -> {hx})) AS sh
+  FROM (SELECT doc_id,
+               lower(regexp_replace(text, '\s+', ' ', 'g')) AS txt
+        FROM documents)),
+sigs AS MATERIALIZED (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+bks AS MATERIALIZED ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bks x JOIN bks y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+est AS (
+  SELECT a, b,
+         len(list_filter(range(1, {num_hashes} + 1),
+                         i -> sa.sig[i] = sb.sig[i]))
+           / CAST({num_hashes} AS DOUBLE) AS jaccard_est
+  FROM cand JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b)
+SELECT a, b, round(jaccard_est, 9) AS jaccard_est
+FROM est WHERE jaccard_est >= {threshold!r}"""
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    # portable 32-bit simhash: token hash = md5 32-bit prefix; 4 x 8-bit
+    # bands block candidates; exact hamming via bit_count(xor)
+    hx = _HEX32.format(expr="w")
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs,"
+        f" h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0"
+        f" THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
+        for b in range(32))
+    band_rows = "\nUNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band,"
+        f" (simhash >> {i * 8}) & 255 AS key FROM sh"
+        for i in range(4))
+    return rf"""
+WITH hs AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       w -> length(w) > 0),
+           w -> {hx}) AS hs
+  FROM documents),
+sh AS MATERIALIZED (
+  SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hs),
+bands AS MATERIALIZED ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, x.simhash AS ha,
+                  y.doc_id AS b, y.simhash AS hb
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
 
 
 # ----------------------------------------------------------------- oracles
@@ -688,9 +1186,27 @@ def oracle_sql() -> dict[str, str]:
           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
-        # langid / fingerprint / minhash_pairs / simhash_pairs /
-        # eigenvector / hits / random_walks and the iterative fixpoints
-        # (pagerank, wcc_sizes, lpa_community_sizes, kcore) are
-        # intentionally omitted: hash-seeded signatures and
-        # per-iteration aggregation are not single-query ANSI SQL.
+        # ---- previously rows-only, now oracled:
+        # fixed-iteration fixpoints are unrolled into one MATERIALIZED
+        # CTE chain per superstep; hash-seeded operators use the
+        # md5-portable variants so DuckDB replays the exact hashes
+        "pagerank": _pagerank_oracle(_PR_ITERS),
+        "eigenvector": _eigenvector_oracle(_EIG_ITERS),
+        "hits": _hits_oracle(_HITS_ITERS),
+        "lpa_community_sizes": _lpa_oracle(_LPA_SWEEPS),
+        "wcc_sizes": _wcc_sizes_oracle(),
+        "closeness": _closeness_oracle(_BFS_CAP),
+        "betweenness": _betweenness_oracle(_BC_LEVELS),
+        "random_walks": _random_walks_oracle(_WALK_LEN),
+        "triad_census": _triad_census_oracle(),
+        "langid": _langid_oracle(),
+        "fingerprint": _fingerprint_oracle(),
+        "minhash_pairs": _minhash_oracle(),
+        "simhash_pairs": _simhash_oracle(),
+        # still rows-only (genuinely outside single-query SQL):
+        #  * kcore — the peel sequence's wave count is data-dependent
+        #    (no fixed unroll is faithful), and recursive CTEs cannot
+        #    aggregate per iteration;
+        #  * louvain_sizes — data-dependent level/round counts plus
+        #    contraction between levels.
     }

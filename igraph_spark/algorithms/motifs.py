@@ -1,0 +1,137 @@
+"""Triad census (Davis & Leinhardt) — igraph_triad_census,
+/root/reference/src/motifs.c:1042 (class list :975-1012, golden fixture
+examples/simple/triad_census.c/.out, test tests/motifs.at:30-33).
+
+Every unordered vertex triple of a directed graph falls into one of 16
+isomorphism classes named by their (mutual, asymmetric, null) dyad
+counts plus a Down/Up/Cyclic/Transitive letter:
+
+    003 012 102 021D 021U 021C 111D 111U
+    030T 030C 201 120D 120U 120C 210 300
+
+Spark shape (instead of the reference's per-vertex neighbor scan): the
+13 classes with >= 2 connected dyads are enumerated by a wedge
+self-join over the connected-pair incidence (each triple exactly once:
+at its shared vertex when the third pair is null, else at its minimum
+vertex), classified by pure column logic; the two single-dyad classes
+fall out of dyad totals (012 = A*(n-2) - wedge-asym incidences,
+102 = M*(n-2) - wedge-mutual incidences — the same identity
+igraph_triad_census_24 uses, motifs.c:914-973); 003 is the remainder
+of C(n,3).  Work is O(#wedges) with the same skew profile as the
+triangle kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from igraph_spark.graph import Graph, SRC, DST
+
+#: canonical igraph output order (motifs.c:975-1012)
+TRIAD_ORDER = ["003", "012", "102", "021D", "021U", "021C", "111D", "111U",
+               "030T", "030C", "201", "120D", "120U", "120C", "210", "300"]
+
+
+def _pair_table(graph: Graph) -> DataFrame:
+    """Connected unordered pairs (a < b) with direction flags
+    (fab = a->b exists, fba = b->a exists).  Undirected graphs make
+    every edge mutual (matching igraph_to_undirected->census: the
+    reference warns on undirected input and counts each edge as a
+    mutual dyad — triad_census.out line 2)."""
+    e = (graph.edges.select(SRC, DST)
+         .where(F.col(SRC) != F.col(DST)).distinct())
+    if not graph.directed:
+        e = e.unionByName(e.select(F.col(DST).alias(SRC),
+                                   F.col(SRC).alias(DST)))
+    return (e.select(F.least(SRC, DST).alias("a"),
+                     F.greatest(SRC, DST).alias("b"),
+                     (F.col(SRC) < F.col(DST)).alias("isfwd"))
+            .groupBy("a", "b")
+            .agg(F.max(F.col("isfwd")).alias("fab"),
+                 F.max(~F.col("isfwd")).alias("fba")))
+
+
+def triad_census(graph: Graph) -> DataFrame:
+    """-> DataFrame(triad, count): all 16 classes, zeros included."""
+    spark = graph.edges.sparkSession
+    n = graph.vcount()
+    p = _pair_table(graph).persist()
+
+    inc = (p.select(F.col("a").alias("v"), F.col("b").alias("o"),
+                    F.col("fab").alias("f_vo"), F.col("fba").alias("f_ov"))
+           .unionByName(
+               p.select(F.col("b").alias("v"), F.col("a").alias("o"),
+                        F.col("fba").alias("f_vo"),
+                        F.col("fab").alias("f_ov"))))
+    x = inc.select(F.col("v"), F.col("o").alias("o1"),
+                   F.col("f_vo").alias("b1"), F.col("f_ov").alias("b2"))
+    y = inc.select(F.col("v"), F.col("o").alias("o2"),
+                   F.col("f_vo").alias("b3"), F.col("f_ov").alias("b4"))
+    third = p.select(F.col("a").alias("o1"), F.col("b").alias("o2"),
+                     F.col("fab").alias("t12"), F.col("fba").alias("t21"))
+    w = (x.join(y, "v").where(F.col("o1") < F.col("o2"))
+         .join(third, ["o1", "o2"], "left")
+         # each triple once: at the wedge vertex when the third pair is
+         # null, else at its minimum vertex
+         .where(F.col("t12").isNull() | (F.col("v") < F.col("o1")))
+         .select("b1", "b2", "b3", "b4",
+                 F.coalesce("t12", F.lit(False)).alias("b5"),
+                 F.coalesce("t21", F.lit(False)).alias("b6")))
+
+    i = lambda c: c.cast("int")  # noqa: E731
+    m = (i(F.col("b1") & F.col("b2")) + i(F.col("b3") & F.col("b4"))
+         + i(F.col("b5") & F.col("b6")))
+    a = (i(F.col("b1") != F.col("b2")) + i(F.col("b3") != F.col("b4"))
+         + i(F.col("b5") != F.col("b6")))
+    b1, b2, b3, b4, b5, b6 = (F.col(c) for c in
+                              ("b1", "b2", "b3", "b4", "b5", "b6"))
+    mut_vo1, mut_3 = b1 & b2, b5 & b6
+    # classification: the wedge pairs (v,o1), (v,o2) are connected by
+    # construction; the letter tests follow motifs.c:975-1012 verbatim
+    # (e.g. 111D = asym INTO the mutual dyad, 120D = external vertex
+    # sourcing both asym edges)
+    triad = (
+        F.when((m == 0) & (a == 2),
+               F.when(b1 & b3, "021D").when(b2 & b4, "021U")
+                .otherwise("021C"))
+        .when((m == 0) & (a == 3),
+              F.when((b1 & b5 & b4) | (b3 & b6 & b2), "030C")
+               .otherwise("030T"))
+        .when((m == 1) & (a == 1),
+              F.when(mut_vo1, F.when(b4, "111D").otherwise("111U"))
+               .otherwise(F.when(b2, "111D").otherwise("111U")))
+        .when((m == 1) & (a == 2),
+              F.when(mut_3,
+                     F.when(b1 & b3, "120D").when(b2 & b4, "120U")
+                      .otherwise("120C"))
+               .when(mut_vo1,
+                     F.when(b4 & b6, "120D").when(b3 & b5, "120U")
+                      .otherwise("120C"))
+               .otherwise(  # mutual = (v, o2)
+                     F.when(b2 & b5, "120D").when(b1 & b6, "120U")
+                      .otherwise("120C")))
+        .when((m == 2) & (a == 0), "201")
+        .when((m == 2) & (a == 1), "210")
+        .otherwise("300"))
+
+    agg = (w.select(triad.alias("triad"), m.alias("m"), a.alias("a"))
+           .groupBy("triad")
+           .agg(F.count("*").alias("count"),
+                F.sum("m").alias("inc_m"), F.sum("a").alias("inc_a")))
+    rows = {r["triad"]: r for r in agg.collect()}
+    counts = {t: int(rows[t]["count"]) if t in rows else 0
+              for t in TRIAD_ORDER}
+    inc_m = sum(int(r["inc_m"]) for r in rows.values())
+    inc_a = sum(int(r["inc_a"]) for r in rows.values())
+
+    dy = p.agg(F.sum(i(F.col("fab") & F.col("fba"))).alias("mu"),
+               F.sum(i(F.col("fab") != F.col("fba"))).alias("asym")).first()
+    p.unpersist()
+    mu = int(dy.mu or 0)
+    asym = int(dy.asym or 0)
+    counts["012"] = asym * (n - 2) - inc_a
+    counts["102"] = mu * (n - 2) - inc_m
+    counts["003"] = (n * (n - 1) * (n - 2) // 6
+                     - sum(v for t, v in counts.items() if t != "003"))
+    return spark.createDataFrame(
+        [(t, counts[t]) for t in TRIAD_ORDER], "triad string, count long")
