@@ -119,6 +119,25 @@ _BFS_CAP = 16     # >= true max BFS distance on the mod graph (measured 2)
 _BC_LEVELS = 8    # >= BFS level count on the mod graph
 
 
+def _art_edges(spark, sf_dir) -> DataFrame:
+    """Sparse bipartite customer-supplier graph (every 29th order) —
+    tree-ish enough to have articulation points (16 at sf0.01)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (o.join(l, o["o_orderkey"] == l["l_orderkey"])
+            .where(F.col("o_orderkey") % 29 == 0)
+            .select((F.col("o_custkey") % 600).alias("src"),
+                    (F.col("l_suppkey") % 300 + 600).alias("dst"))
+            .distinct())
+
+
+_ART_E_SQL = """
+  SELECT DISTINCT o_custkey % 600 AS src, l_suppkey % 300 + 600 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey % 29 = 0
+"""
+
+
 def _graph(edges: DataFrame, directed: bool):
     from igraph_spark.graph import Graph
     return Graph(edges, directed=directed,
@@ -323,6 +342,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .localCheckpoint(eager=True))
         return out
 
+    def q_shortest_paths(spark, sf):
+        from igraph_spark.algorithms.paths import get_shortest_paths
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            out = (get_shortest_paths(g, [0, 1, 2], mode="out")
+                   .select("source", "id",
+                           F.col("dist").cast("long").alias("dist"),
+                           F.array_join(F.col("path").cast("array<string>"),
+                                        "/").alias("path"))
+                   .localCheckpoint(eager=True))
+        return out
+
     def q_dyad_census(spark, sf):
         from igraph_spark.algorithms.centrality import dyad_census
         g = _graph(_mod_edges(spark, sf), True)
@@ -333,6 +364,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(_mod_edges(spark, sf), True)
         with _lean_conf(spark):
             out = triad_census(g).localCheckpoint(eager=True)
+        return out
+
+    def q_articulation_points(spark, sf):
+        from igraph_spark.algorithms.biconnected import articulation_points
+        g = _graph(_art_edges(spark, sf), False)
+        with _lean_conf(spark):
+            out = articulation_points(g).localCheckpoint(eager=True)
+        return out
+
+    def q_biconnected_sizes(spark, sf):
+        # block -> #edges histogram of the biconnected decomposition
+        from igraph_spark.algorithms.biconnected import (
+            biconnected_components)
+        g = _graph(_art_edges(spark, sf), False)
+        with _lean_conf(spark):
+            out = (biconnected_components(g)
+                   .groupBy("block").agg(F.count("*").alias("n_edges"))
+                   .groupBy("n_edges")
+                   .agg(F.count("*").alias("n_blocks"))
+                   .localCheckpoint(eager=True))
         return out
 
     def q_eigenvector(spark, sf):
@@ -460,8 +511,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_near_dup": q_ann_near_dup,
         "bfs": q_bfs,
+        "shortest_paths": q_shortest_paths,
         "dyad_census": q_dyad_census,
         "triad_census": q_triad_census,
+        "articulation_points": q_articulation_points,
+        "biconnected_sizes": q_biconnected_sizes,
         "eigenvector": q_eigenvector,
         "hits": q_hits,
         "betweenness": q_betweenness,
@@ -825,6 +879,83 @@ SELECT b.triad,
          ELSE coalesce((SELECT c FROM agg2 WHERE agg2.triad = b.triad), 0)
        END AS BIGINT) AS count
 FROM base b"""
+
+
+_ART_SYM_CTES = f"""
+WITH RECURSIVE e0 AS ({_ART_E_SQL}),
+sym AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+nbr AS (SELECT src AS v, dst AS n FROM sym)"""
+
+
+def _shortest_paths_oracle(cap: int) -> str:
+    # min-parent witness chain: parent(s,v) = min predecessor one level
+    # closer; path rebuilt by recursive prepend until cur = source
+    return f"""
+WITH RECURSIVE em AS ({_MOD_E_SQL}),
+e AS (SELECT * FROM em WHERE src <> dst),
+s AS (SELECT 0 AS source UNION ALL SELECT 1 UNION ALL SELECT 2),
+r AS (SELECT source, source AS id, 0 AS dist FROM s
+      UNION
+      SELECT r.source, e.dst, r.dist + 1
+      FROM r JOIN e ON e.src = r.id WHERE r.dist < {cap}),
+md AS (SELECT source, id, min(dist) AS dist FROM r GROUP BY 1, 2),
+par AS (SELECT d.source, d.id, min(e.src) AS parent
+        FROM md d JOIN e ON e.dst = d.id
+        JOIN md p ON p.source = d.source AND p.id = e.src
+                 AND p.dist = d.dist - 1
+        WHERE d.dist > 0 GROUP BY 1, 2),
+pr AS (SELECT source, id, dist, id AS cur,
+              CAST(id AS VARCHAR) AS path FROM md
+       UNION ALL
+       SELECT pr.source, pr.id, pr.dist, par.parent,
+              par.parent || '/' || pr.path
+       FROM pr JOIN par ON par.source = pr.source AND par.id = pr.cur
+       WHERE pr.cur <> pr.source)
+SELECT source, id, CAST(dist AS BIGINT) AS dist, path
+FROM pr WHERE cur = source"""
+
+
+def _articulation_oracle() -> str:
+    # brute force from the definition: v is an articulation point iff
+    # some neighbor is unreachable from v's minimum neighbor in G - v
+    return _ART_SYM_CTES + """,
+seed AS (SELECT v, min(n) AS start FROM nbr GROUP BY 1),
+r AS (SELECT s.v, s.start AS node FROM seed s
+      UNION
+      SELECT r.v, sym.dst FROM r JOIN sym ON sym.src = r.node
+      WHERE sym.dst <> r.v)
+SELECT DISTINCT nbr.v AS id
+FROM nbr LEFT JOIN r ON r.v = nbr.v AND r.node = nbr.n
+WHERE r.node IS NULL"""
+
+
+def _biconnected_sizes_oracle() -> str:
+    # blocks from the definition: edges (v,a),(v,b) are cycle-equivalent
+    # iff a reaches b in G - v; blocks = transitive closure of that
+    # relation over edges; output the block-size histogram
+    return _ART_SYM_CTES + """,
+reach AS (SELECT v, n AS a, n AS node FROM nbr
+          UNION
+          SELECT r.v, r.a, sym.dst FROM reach r
+          JOIN sym ON sym.src = r.node WHERE sym.dst <> r.v),
+eid AS (SELECT src AS u, dst AS v, src * 1000000 + dst AS e FROM e0),
+links AS (
+  SELECT ea.e AS e1, eb.e AS e2
+  FROM nbr x JOIN nbr y ON x.v = y.v AND x.n < y.n
+  JOIN reach r ON r.v = x.v AND r.a = x.n AND r.node = y.n
+  JOIN eid ea ON ea.u = least(x.v, x.n) AND ea.v = greatest(x.v, x.n)
+  JOIN eid eb ON eb.u = least(y.v, y.n) AND eb.v = greatest(y.v, y.n)),
+lsym AS (SELECT DISTINCT e1, e2 FROM (
+           SELECT e1, e2 FROM links UNION ALL SELECT e2, e1 FROM links)),
+cl AS (SELECT e AS root, e AS node FROM eid
+       UNION
+       SELECT cl.root, l.e2 FROM cl JOIN lsym l ON l.e1 = cl.node),
+blocks AS (SELECT root AS e, min(node) AS block FROM cl GROUP BY 1),
+sizes AS (SELECT block, count(*) AS n_edges FROM blocks GROUP BY 1)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_blocks
+FROM sizes GROUP BY 1"""
 
 
 def _langid_oracle() -> str:
@@ -1199,6 +1330,9 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": _betweenness_oracle(_BC_LEVELS),
         "random_walks": _random_walks_oracle(_WALK_LEN),
         "triad_census": _triad_census_oracle(),
+        "shortest_paths": _shortest_paths_oracle(_BFS_CAP),
+        "articulation_points": _articulation_oracle(),
+        "biconnected_sizes": _biconnected_sizes_oracle(),
         "langid": _langid_oracle(),
         "fingerprint": _fingerprint_oracle(),
         "minhash_pairs": _minhash_oracle(),

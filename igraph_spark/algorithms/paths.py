@@ -110,6 +110,76 @@ def shortest_paths(graph: Graph, sources, mode: str = "out",
     return state
 
 
+def get_shortest_paths(graph: Graph, sources, mode: str = "out",
+                       max_hops: int = 10000) -> DataFrame:
+    """igraph_get_shortest_paths analog
+    (/root/reference/src/structural_properties.c:645) ->
+    DataFrame(source, id, dist, path: array<long>) with one shortest
+    path witness per reachable (source, id) pair.
+
+    The witness is deterministic at any parallelism: each vertex's BFS
+    parent is its minimum-id predecessor one level closer to the
+    source, so the returned path is the minimum-parent chain (igraph
+    returns an arbitrary shortest path; we pin the choice so results
+    are reproducible and oracle-checkable).  Path reconstruction is an
+    iterative prepend join — O(dist) rounds over (source, vertex) rows.
+    """
+    spark = graph.edges.sparkSession
+    e = (_trav(graph, mode, weighted=False).select(SRC, DST)
+         .where(F.col(SRC) != F.col(DST)).distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col(sources.columns[0]).alias("source"))
+    else:
+        src_df = spark.createDataFrame([(int(s),) for s in sources],
+                                       "source long")
+    visited = src_df.select(
+        "source", F.col("source").alias(ID),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(None).cast("long").alias("parent")).localCheckpoint(eager=True)
+    frontier = visited.select("source", ID)
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier[ID] == e[SRC])
+               .select("source", F.col(DST).alias(ID),
+                       F.col(SRC).alias("cand"))
+               .join(visited.select("source", ID), ["source", ID],
+                     "left_anti")
+               .groupBy("source", ID).agg(F.min("cand").alias("parent"))
+               .withColumn("dist", F.lit(hop).cast("long"))
+               .select("source", ID, "dist", "parent")
+               .localCheckpoint(eager=True))
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("source", ID)
+    e.unpersist()
+
+    parents = visited.select(F.col("source").alias("psrc"),
+                             F.col(ID).alias("pid"),
+                             F.col("parent").alias("pp"))
+    done = visited.where(F.col("dist") == 0).select(
+        "source", ID, "dist", F.array(F.col(ID)).alias("path"))
+    todo = (visited.where(F.col("dist") > 0)
+            .select("source", ID, "dist", F.col("parent").alias("head"),
+                    F.array(F.col(ID)).alias("path")))
+    for _ in range(max_hops):
+        if todo.isEmpty():
+            break
+        todo = (todo.withColumn("path", F.concat(F.array(F.col("head")),
+                                                 F.col("path")))
+                .localCheckpoint(eager=True))
+        finished = todo.where(F.col("head") == F.col("source"))
+        done = done.unionByName(
+            finished.select("source", ID, "dist", "path"))
+        todo = (todo.where(F.col("head") != F.col("source"))
+                .join(parents, (F.col("source") == F.col("psrc"))
+                      & (F.col("head") == F.col("pid")))
+                .select("source", ID, "dist", F.col("pp").alias("head"),
+                        "path")
+                .localCheckpoint(eager=True))
+    return done
+
+
 def average_path_length(graph: Graph) -> float:
     """igraph_average_path_length (structural_properties.c:223):
     mean finite shortest-path length over ordered reachable pairs,
