@@ -440,6 +440,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (ann.cosine_near_dup_pairs(e, threshold=0.4)
                 .select("a", "b", F.round("cosine", 6).alias("cosine")))
 
+    def q_ann_near_dup_lsh(spark, sf):
+        # the scale path: RHP-banded blocking + exact re-rank; the
+        # oracle is the BRUTE-FORCE pair set, so this query passing
+        # asserts recall = 1.0 at these band settings
+        e = _t(spark, sf, "embeddings")
+        return (ann.rhp_near_dup_pairs(e, dim=64, threshold=0.4)
+                .select("a", "b", F.round("cosine", 6).alias("cosine")))
+
+    def q_ann_lsh_recall(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        n_true = ann.cosine_near_dup_pairs(e, threshold=0.4).count()
+        n_lsh = ann.rhp_near_dup_pairs(e, dim=64, threshold=0.4).count()
+        recall = n_lsh / n_true if n_true else 1.0
+        return spark.createDataFrame(
+            [(n_true, n_lsh, round(recall, 6))],
+            "n_true long, n_lsh long, recall double")
+
+    def q_minhash_verified(spark, sf):
+        # full dedup pipeline: banded-minhash candidates -> TRUE
+        # shingle-Jaccard verify; oracle = brute-force Jaccard pairs
+        d = _t(spark, sf, "documents")
+        return (dedup.minhash_verified_pairs(d, min_jaccard=0.6,
+                                             hash="md5_32")
+                .select("a", "b", F.round("jaccard", 9).alias("jaccard")))
+
     # ---------------- iterative fixpoints (fixed iteration counts so the
     # DuckDB oracle can replay the exact superstep sequence by unrolling)
     def q_pagerank(spark, sf):
@@ -476,6 +501,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .orderBy("label").localCheckpoint(eager=True))
         return out
 
+    def q_community_compare(spark, sf):
+        # NMI / Rand / split-join between two deterministic labelings
+        # of the mod-graph vertex set (exercises the contingency-table
+        # aggregation with a non-trivial overlap structure)
+        from igraph_spark.algorithms.community_metrics import (
+            compare_communities)
+        g = _graph(_mod_edges(spark, sf), True)
+        v = g.vertices
+        m1 = v.select("id", (F.col("id") % 4).alias("label"))
+        m2 = v.select("id", (F.col("id") % 6).alias("label"))
+        nmi = compare_communities(m1, m2, "nmi")
+        rand = compare_communities(m1, m2, "rand")
+        sj = compare_communities(m1, m2, "split_join")
+        return spark.createDataFrame(
+            [(round(nmi, 6), round(rand, 9), float(sj))],
+            "nmi double, rand double, split_join double")
+
     def q_kcore(spark, sf):
         g = _graph(_supplier_edges(spark, sf), False)
         with _lean_conf(spark):
@@ -510,6 +552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine": q_ann_cosine,
         "ann_near_dup": q_ann_near_dup,
+        "ann_near_dup_lsh": q_ann_near_dup_lsh,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "minhash_verified": q_minhash_verified,
         "bfs": q_bfs,
         "shortest_paths": q_shortest_paths,
         "dyad_census": q_dyad_census,
@@ -523,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "pagerank": q_pagerank,
         "wcc_sizes": q_wcc_sizes,
+        "community_compare": q_community_compare,
         "lpa_community_sizes": q_lpa_community_sizes,
         "louvain_sizes": q_louvain_sizes,
         "kcore": q_kcore,
@@ -958,6 +1004,37 @@ SELECT CAST(n_edges AS BIGINT) AS n_edges,
 FROM sizes GROUP BY 1"""
 
 
+def _community_compare_oracle() -> str:
+    # contingency-table NMI / Rand / split-join over id%4 vs id%6
+    return f"""
+WITH em AS ({_MOD_E_SQL}),
+v AS (SELECT src AS id FROM em UNION SELECT dst FROM em),
+m AS (SELECT id, id % 4 AS l1, id % 6 AS l2 FROM v),
+cont AS (SELECT l1, l2, count(*) AS nij FROM m GROUP BY 1, 2),
+nn AS (SELECT CAST(sum(nij) AS DOUBLE) AS n FROM cont),
+a AS (SELECT l1, sum(nij) AS ai FROM cont GROUP BY 1),
+b AS (SELECT l2, sum(nij) AS bj FROM cont GROUP BY 1),
+h AS (SELECT
+        (SELECT -sum(ai / n * ln(ai / n)) FROM a, nn) AS h1,
+        (SELECT -sum(bj / n * ln(bj / n)) FROM b, nn) AS h2,
+        (SELECT sum((nij / n) * ln((nij * n) / (ai * bj)))
+         FROM cont JOIN a USING (l1) JOIN b USING (l2), nn) AS mi),
+pairs AS (SELECT
+        (SELECT sum(nij * (nij - 1) / 2.0) FROM cont) AS sij,
+        (SELECT sum(ai * (ai - 1) / 2.0) FROM a) AS sa,
+        (SELECT sum(bj * (bj - 1) / 2.0) FROM b) AS sb,
+        (SELECT n * (n - 1) / 2.0 FROM nn) AS tot),
+sj AS (SELECT
+        (SELECT sum(m) FROM (SELECT max(nij) AS m FROM cont GROUP BY l1))
+          AS ma,
+        (SELECT sum(m) FROM (SELECT max(nij) AS m FROM cont GROUP BY l2))
+          AS mb)
+SELECT round(2.0 * mi / (h1 + h2), 6) AS nmi,
+       round((tot + 2.0 * sij - sa - sb) / tot, 9) AS rand,
+       CAST(2.0 * (SELECT n FROM nn) - ma - mb AS DOUBLE) AS split_join
+FROM h, pairs, sj"""
+
+
 def _langid_oracle() -> str:
     from igraph_spark.functions.text import _STOPWORDS
     rows = []
@@ -1042,6 +1119,46 @@ est AS (
   FROM cand JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b)
 SELECT a, b, round(jaccard_est, 9) AS jaccard_est
 FROM est WHERE jaccard_est >= {threshold!r}"""
+
+
+_ANN_BRUTE_SQL = """
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def _minhash_verified_oracle(shingle: int = 5,
+                             min_jaccard: float = 0.6) -> str:
+    # brute-force TRUE shingle-Jaccard >= threshold via an inverted
+    # gram index (recall-1 assertion for the LSH-fronted pipeline)
+    hx = _HEX32.format(expr=f"substr(txt, i, {shingle})")
+    return rf"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(txt) - {shingle - 1}, 1) + 1),
+           i -> {hx})) AS sh
+  FROM (SELECT doc_id,
+               lower(regexp_replace(text, '\s+', ' ', 'g')) AS txt
+        FROM documents)),
+grams AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT a, b,
+         CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b)
+SELECT a, b, round(jaccard, 9) AS jaccard FROM j
+WHERE jaccard >= {min_jaccard!r}"""
 
 
 def _simhash_oracle(max_hamming: int = 3) -> str:
@@ -1308,15 +1425,14 @@ def oracle_sql() -> dict[str, str]:
                       - count(*) AS BIGINT) AS null
           FROM p
         """,
-        "ann_near_dup": """
-          SELECT a.vec_id AS a, b.vec_id AS b,
-                 round(list_cosine_similarity(
-                     CAST(a.embedding AS DOUBLE[]),
-                     CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])) >= 0.4
+        "ann_near_dup": _ANN_BRUTE_SQL,
+        "ann_near_dup_lsh": _ANN_BRUTE_SQL,
+        "ann_lsh_recall": f"""
+          WITH t AS (SELECT count(*) AS n FROM ({_ANN_BRUTE_SQL}))
+          SELECT CAST(n AS BIGINT) AS n_true, CAST(n AS BIGINT) AS n_lsh,
+                 1.0 AS recall FROM t
         """,
+        "minhash_verified": _minhash_verified_oracle(),
         # ---- previously rows-only, now oracled:
         # fixed-iteration fixpoints are unrolled into one MATERIALIZED
         # CTE chain per superstep; hash-seeded operators use the
@@ -1331,6 +1447,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_oracle(_WALK_LEN),
         "triad_census": _triad_census_oracle(),
         "shortest_paths": _shortest_paths_oracle(_BFS_CAP),
+        "community_compare": _community_compare_oracle(),
         "articulation_points": _articulation_oracle(),
         "biconnected_sizes": _biconnected_sizes_oracle(),
         "langid": _langid_oracle(),

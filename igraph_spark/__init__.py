@@ -43,6 +43,13 @@ from igraph_spark.algorithms.centrality import (
     hits,
     dyad_census,
 )
+from igraph_spark.algorithms.motifs import triad_census
+from igraph_spark.algorithms.biconnected import (
+    articulation_points,
+    biconnected_components,
+)
+from igraph_spark.algorithms.community_metrics import compare_communities
+from igraph_spark.algorithms.paths import get_shortest_paths
 from igraph_spark.algorithms.paths import (
     bfs_distances,
     shortest_paths,
@@ -76,6 +83,11 @@ __all__ = [
     "eigenvector_centrality",
     "hits",
     "dyad_census",
+    "triad_census",
+    "articulation_points",
+    "biconnected_components",
+    "compare_communities",
+    "get_shortest_paths",
     "bfs_distances",
     "shortest_paths",
     "average_path_length",

@@ -159,6 +159,90 @@ def gnm(spark: SparkSession, n: int, m: int, seed: int = 42,
                      f"after oversampling to {over}")
 
 
+def gnp(spark: SparkSession, n: int, p: float, seed: int = 42,
+        directed: bool = False, loops: bool = False) -> Graph:
+    """Erdos-Renyi G(n,p) (games.c:573) via hash-thresholded pair
+    sampling: pair (i,j) is an edge iff u01(hash(i*n+j)) < p.
+    Deterministic at any parallelism.  The candidate space is O(n^2)
+    (igraph's geometric skipping is O(m) but sequential); use ``gnm``
+    with m ~ Binomial(N, p)'s mean for large sparse graphs."""
+    a = spark.range(n).toDF("src")
+    b = spark.range(n).toDF("dst")
+    pairs = a.crossJoin(b)
+    if directed:
+        pairs = pairs if loops else pairs.where("src != dst")
+    else:
+        pairs = pairs.where("src <= dst" if loops else "src < dst")
+    u = _u01(F.col("src") * n + F.col("dst"), seed, 11)
+    e = pairs.where(u < p)
+    return Graph(e, spark.range(n).toDF("id"), directed=directed,
+                 _canonical=not directed)
+
+
+def barabasi(spark: SparkSession, n: int, m: int = 1, seed: int = 42,
+             max_chase: int = 64) -> Graph:
+    """Barabasi-Albert preferential attachment (games.c:486, bag
+    model) via the Batagelj-Brandes construction, distributed.
+
+    B-B stores the edge list as a flat array A where A[2t] is slot t's
+    source vertex and A[2t+1] its target; slot t's target is the value
+    at a uniform position k < 2t — picking a uniform *endpoint slot* is
+    exactly degree-proportional sampling.  Even k resolves immediately
+    (a source vertex, known from the slot index alone); odd k refers to
+    an earlier slot's target, so resolution is a per-row pointer chase
+    k -> (k-1)/2 -> ... whose position sequence is pure hash arithmetic
+    on the slot index: NO shuffle, no sequential state, deterministic
+    at any parallelism.  Chains shorten geometrically (each hop halves
+    the index and terminates with prob 1/2), so ``max_chase`` = 64
+    rounds is astronomically safe; the tail is verified empty.
+
+    Like the reference's bag model, the result is a multigraph and may
+    contain occasional self-loops; ``simplify`` drops them.
+    Vertex i >= 1 contributes min(m, ...) = m slots (vertex 0 has no
+    out-slots), so ecount = (n-1)*m.
+    """
+    if n < 2 or m < 1:
+        raise ValueError("barabasi needs n >= 2, m >= 1")
+    t_total = (n - 1) * m
+    slots = spark.range(t_total).select(
+        F.col("id").alias("t"),
+        (F.floor(F.col("id") / m) + 1).alias("src"))
+
+    def _k(ref: F.Column) -> F.Column:
+        return F.when(ref > 0,
+                      F.pmod(F.xxhash64(ref, F.lit(seed)), 2 * ref)) \
+                .otherwise(F.lit(0))
+
+    k0 = _k(F.col("t"))
+    df = slots.select(
+        "t", "src",
+        F.when((k0 % 2 == 0) & (F.col("t") > 0),
+               F.floor(k0 / 2 / m) + 1)
+         .when(F.col("t") == 0, F.lit(0))
+         .alias("dst"),
+        F.when((k0 % 2 == 1), F.floor((k0 - 1) / 2)).alias("ref"))
+    for rnd in range(max_chase):
+        k = _k(F.col("ref"))
+        df = df.select(
+            "t", "src",
+            F.when(F.col("dst").isNotNull(), F.col("dst"))
+             .when(F.col("ref") == 0, F.lit(0))
+             .when(k % 2 == 0, F.floor(k / 2 / m) + 1)
+             .alias("dst"),
+            F.when(F.col("dst").isNull() & (F.col("ref") > 0) & (k % 2 == 1),
+                   F.floor((k - 1) / 2)).alias("ref"))
+        if (rnd + 1) % 8 == 0:
+            df = df.localCheckpoint(eager=True)
+            if df.where(F.col("dst").isNull()).isEmpty():
+                break
+    unresolved = df.where(F.col("dst").isNull()).count()
+    if unresolved:
+        raise RuntimeError(f"barabasi: {unresolved} unresolved chains "
+                           f"after {max_chase} rounds")
+    e = df.select("src", F.col("dst").cast("long").alias("dst"))
+    return Graph(e, spark.range(n).toDF("id"), directed=False)
+
+
 def zipf_skew(spark: SparkSession, n: int, m: int, alpha: float = 2.0,
               seed: int = 42, directed: bool = True) -> Graph:
     """Skewed (hub-heavy) graph, the scale/skew analog of the

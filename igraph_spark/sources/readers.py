@@ -72,6 +72,99 @@ def write_ncol(graph: Graph, names: DataFrame, path: str) -> None:
     out.write.mode("overwrite").option("sep", " ").csv(path)
 
 
+def read_graphml(spark: SparkSession, path: str
+                 ) -> tuple[Graph, DataFrame]:
+    """igraph_read_graph_graphml analog
+    (/root/reference/src/foreign-graphml.c) via Spark's built-in XML
+    source (two declarative scans, rowTag 'node' and 'edge') ->
+    (graph, names) with names = DataFrame(id, name).
+
+    Node names map to dense long ids by sorted-name rank (same
+    dictionary policy as NCOL, module docstring).  ``edgedefault`` on
+    the <graph> element decides directedness.  Edge <data> with a
+    key resolving to a double 'weight' attribute becomes the weight
+    column; other attributes are out of scope (documented)."""
+    nodes = (spark.read.format("xml").option("rowTag", "node").load(path)
+             .select(F.col("_id").cast("string").alias("name")))
+    edges_raw = spark.read.format("xml").option("rowTag", "edge").load(path)
+    gattr = (spark.read.format("xml").option("rowTag", "graph")
+             .option("excludeAttribute", "false").load(path))
+    directed = False
+    if "_edgedefault" in gattr.columns:
+        row = gattr.select("_edgedefault").first()
+        directed = (row[0] == "directed") if row else False
+
+    names = (nodes.distinct()
+             .select((F.dense_rank().over(Window.orderBy("name")) - 1)
+                     .cast("long").alias("id"), "name"))
+    e = edges_raw.select(F.col("_source").cast("string").alias("a"),
+                         F.col("_target").cast("string").alias("b"))
+    # single <data> child -> struct, multiple -> array<struct>; a key
+    # literally named 'weight' (or d_weight per common convention) is
+    # taken as the edge weight
+    if "data" in edges_raw.columns:
+        dt = dict(edges_raw.schema["data"].dataType.jsonValue() or {})
+        is_array = dt.get("type") == "array"
+        data = F.col("data") if is_array else F.array(F.col("data"))
+        w = F.filter(data, lambda d: d["_key"].isin("weight", "d_weight"))
+        e = edges_raw.select(
+            F.col("_source").cast("string").alias("a"),
+            F.col("_target").cast("string").alias("b"),
+            F.when(F.size(w) > 0, F.element_at(w, 1)["_VALUE"]
+                   .cast("double")).alias("weight"))
+        if e.where(F.col("weight").isNotNull()).isEmpty():
+            e = e.drop("weight")
+    g_edges = (e
+               .join(names.select(F.col("name").alias("a"),
+                                  F.col("id").alias("src")), "a")
+               .join(names.select(F.col("name").alias("b"),
+                                  F.col("id").alias("dst")), "b")
+               .drop("a", "b"))
+    cols = ["src", "dst"] + [c for c in g_edges.columns
+                             if c not in ("src", "dst")]
+    return Graph(g_edges.select(*cols), names.select("id"),
+                 directed=directed), names
+
+
+def write_graphml(graph: Graph, names: DataFrame | None, path: str) -> None:
+    """igraph_write_graph_graphml analog (foreign-graphml.c writer).
+
+    GraphML is a single XML document, so there is exactly one writer —
+    rows are streamed to the driver via ``toLocalIterator`` (constant
+    driver memory; the reference's writer is the same sequential file
+    IO).  ``names`` maps ids to node names; None uses the numeric ids.
+    """
+    has_w = graph.has_weights
+    if names is None:
+        names = graph.vertices.select(
+            F.col("id"), F.col("id").cast("string").alias("name"))
+    e = graph.weighted_edges() if has_w else graph.edges.select("src", "dst")
+    e = (e.join(names.select(F.col("id").alias("src"),
+                             F.col("name").alias("sname")), "src")
+         .join(names.select(F.col("id").alias("dst"),
+                            F.col("name").alias("tname")), "dst"))
+    with open(path, "w") as fh:
+        fh.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        fh.write('<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n')
+        if has_w:
+            fh.write('  <key id="weight" for="edge" attr.name="weight"'
+                     ' attr.type="double"/>\n')
+        mode = "directed" if graph.directed else "undirected"
+        fh.write(f'  <graph id="G" edgedefault="{mode}">\n')
+        for r in names.orderBy("id").toLocalIterator():
+            fh.write(f'    <node id="{r["name"]}"/>\n')
+        for r in e.toLocalIterator():
+            if has_w:
+                fh.write(f'    <edge source="{r["sname"]}" '
+                         f'target="{r["tname"]}">'
+                         f'<data key="weight">{r["weight"]!r}</data>'
+                         f'</edge>\n')
+            else:
+                fh.write(f'    <edge source="{r["sname"]}" '
+                         f'target="{r["tname"]}"/>\n')
+        fh.write('  </graph>\n</graphml>\n')
+
+
 def read_graph(spark: SparkSession, path: str, fmt: str, **kw):
     """Dispatcher mirroring igraph's per-format readers; unsupported
     legacy formats are explicit non-goals (SURVEY.md §2.1)."""
@@ -79,8 +172,10 @@ def read_graph(spark: SparkSession, path: str, fmt: str, **kw):
         return read_edgelist(spark, path, **kw)
     if fmt == "ncol":
         return read_ncol(spark, path, **kw)
-    if fmt in ("pajek", "gml", "graphml", "dl", "lgl", "dimacs", "graphdb"):
+    if fmt == "graphml":
+        return read_graphml(spark, path, **kw)
+    if fmt in ("pajek", "gml", "dl", "lgl", "dimacs", "graphdb"):
         raise NotImplementedError(
             f"{fmt}: legacy single-file format, out of v1 scope "
-            "(SURVEY.md §2.1); convert to edgelist/ncol/parquet")
+            "(SURVEY.md §2.1); convert to edgelist/ncol/parquet/graphml")
     raise ValueError(f"unknown format {fmt!r}")
