@@ -138,6 +138,38 @@ _ART_E_SQL = """
 """
 
 
+def _clique_edges(spark, sf_dir) -> DataFrame:
+    """Sparse non-bipartite graph (part/order/supplier triangle per
+    sampled lineitem): 4468 edges, 3323 triangles, 181 4-cliques and no
+    5-cliques at sf0.01 — a real clique profile that stays enumerable."""
+    l = (_t(spark, sf_dir, "lineitem")
+         .where(F.col("l_orderkey") % 37 == 0)
+         .select((F.col("l_partkey") % 599).alias("p"),
+                 (F.col("l_orderkey") % 599).alias("o"),
+                 (F.col("l_suppkey") % 599).alias("s")))
+    pairs = (l.select(F.col("p").alias("x"), F.col("o").alias("y"))
+             .unionByName(l.select(F.col("o").alias("x"),
+                                   F.col("s").alias("y")))
+             .unionByName(l.select(F.col("s").alias("x"),
+                                   F.col("p").alias("y"))))
+    return (pairs.where(F.col("x") != F.col("y"))
+            .select(F.least("x", "y").alias("src"),
+                    F.greatest("x", "y").alias("dst"))
+            .distinct())
+
+
+_CLIQUE_E_SQL = """
+  WITH raw AS (
+    SELECT l_partkey % 599 AS p, l_orderkey % 599 AS o,
+           l_suppkey % 599 AS s
+    FROM lineitem WHERE l_orderkey % 37 = 0),
+  pr AS (SELECT p AS x, o AS y FROM raw UNION ALL SELECT o, s FROM raw
+         UNION ALL SELECT s, p FROM raw)
+  SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+  FROM pr WHERE x <> y
+"""
+
+
 def _graph(edges: DataFrame, directed: bool):
     from igraph_spark.graph import Graph
     return Graph(edges, directed=directed,
@@ -501,6 +533,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .orderBy("label").localCheckpoint(eager=True))
         return out
 
+    def q_maximal_cliques(spark, sf):
+        from igraph_spark.algorithms.cliques import maximal_cliques
+        g = _graph(_clique_edges(spark, sf), False)
+        with _lean_conf(spark):
+            out = (maximal_cliques(g)
+                   .groupBy("size").agg(F.count("*").alias("n_cliques"))
+                   .localCheckpoint(eager=True))
+        return out
+
     def q_community_compare(spark, sf):
         # NMI / Rand / split-join between two deterministic labelings
         # of the mod-graph vertex set (exercises the contingency-table
@@ -568,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "pagerank": q_pagerank,
         "wcc_sizes": q_wcc_sizes,
+        "maximal_cliques": q_maximal_cliques,
         "community_compare": q_community_compare,
         "lpa_community_sizes": q_lpa_community_sizes,
         "louvain_sizes": q_louvain_sizes,
@@ -1002,6 +1044,46 @@ sizes AS (SELECT block, count(*) AS n_edges FROM blocks GROUP BY 1)
 SELECT CAST(n_edges AS BIGINT) AS n_edges,
        CAST(count(*) AS BIGINT) AS n_blocks
 FROM sizes GROUP BY 1"""
+
+
+def _maximal_cliques_oracle() -> str:
+    # enumerate cliques by ordered joins up to size 4 (no 5-cliques in
+    # this graph — asserted by the empty t5 check folded into m4's
+    # NOT EXISTS), maximality = no common neighbor of all members
+    return f"""
+WITH e AS MATERIALIZED ({_CLIQUE_E_SQL}),
+sym AS MATERIALIZED (SELECT u AS x, v AS y FROM e
+                     UNION ALL SELECT v, u FROM e),
+t3 AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+t4 AS MATERIALIZED (
+  SELECT t.a, t.b, t.c, e1.v AS d FROM t3 t
+  JOIN e e1 ON e1.u = t.c
+  JOIN e e2 ON e2.u = t.b AND e2.v = e1.v
+  JOIN e e3 ON e3.u = t.a AND e3.v = e1.v),
+m2 AS (SELECT count(*) AS n FROM e WHERE NOT EXISTS (
+         SELECT 1 FROM sym s1 JOIN sym s2
+           ON s2.y = s1.y AND s2.x = e.v
+         WHERE s1.x = e.u)),
+m3 AS (SELECT count(*) AS n FROM t3 WHERE NOT EXISTS (
+         SELECT 1 FROM sym s1
+         JOIN sym s2 ON s2.y = s1.y AND s2.x = t3.b
+         JOIN sym s3 ON s3.y = s1.y AND s3.x = t3.c
+         WHERE s1.x = t3.a)),
+m4 AS (SELECT count(*) AS n FROM t4 WHERE NOT EXISTS (
+         SELECT 1 FROM sym s1
+         JOIN sym s2 ON s2.y = s1.y AND s2.x = t4.b
+         JOIN sym s3 ON s3.y = s1.y AND s3.x = t4.c
+         JOIN sym s4 ON s4.y = s1.y AND s4.x = t4.d
+         WHERE s1.x = t4.a))
+SELECT * FROM (
+  SELECT CAST(2 AS BIGINT) AS size, CAST((SELECT n FROM m2) AS BIGINT)
+    AS n_cliques
+  UNION ALL SELECT 3, CAST((SELECT n FROM m3) AS BIGINT)
+  UNION ALL SELECT 4, CAST((SELECT n FROM m4) AS BIGINT))
+WHERE n_cliques > 0"""
 
 
 def _community_compare_oracle() -> str:
@@ -1448,6 +1530,7 @@ def oracle_sql() -> dict[str, str]:
         "triad_census": _triad_census_oracle(),
         "shortest_paths": _shortest_paths_oracle(_BFS_CAP),
         "community_compare": _community_compare_oracle(),
+        "maximal_cliques": _maximal_cliques_oracle(),
         "articulation_points": _articulation_oracle(),
         "biconnected_sizes": _biconnected_sizes_oracle(),
         "langid": _langid_oracle(),

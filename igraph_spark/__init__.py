@@ -36,7 +36,12 @@ from igraph_spark.algorithms.triangles import (
     list_triangles,
 )
 from igraph_spark.algorithms.kcore import coreness
-from igraph_spark.algorithms.betweenness import betweenness
+from igraph_spark.algorithms.betweenness import (
+    betweenness,
+    edge_betweenness,
+    girvan_newman,
+)
+from igraph_spark.algorithms.cliques import maximal_cliques
 from igraph_spark.algorithms.louvain import multilevel_communities
 from igraph_spark.algorithms.centrality import (
     eigenvector_centrality,
@@ -79,6 +84,9 @@ __all__ = [
     "list_triangles",
     "coreness",
     "betweenness",
+    "edge_betweenness",
+    "girvan_newman",
+    "maximal_cliques",
     "multilevel_communities",
     "eigenvector_centrality",
     "hits",

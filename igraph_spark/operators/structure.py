@@ -184,7 +184,65 @@ def linegraph(graph: Graph, ids: str = "struct") -> DataFrame:
     return out.select(F.col("e1").alias(SRC), F.col("e2").alias(DST))
 
 
-def contract_vertices(graph: Graph, mapping: DataFrame) -> Graph:
+def get_adjacency(graph: Graph, sparse: bool = True,
+                  weighted: bool = False) -> DataFrame:
+    """igraph_get_adjacency (/root/reference/src/conversion.c:69).
+
+    sparse=True (scale path): DataFrame(src, dst, value) with value =
+    edge multiplicity (or summed weight); undirected graphs emit both
+    triangle halves like the reference's symmetric matrix (loops count
+    2 on the diagonal, matching GET_ADJACENCY_BOTH).
+    sparse=False: a dense pivoted DataFrame(id, c0..c{n-1}) — test
+    scale only (n columns)."""
+    if weighted:
+        e = graph.weighted_edges()
+        val = F.sum(WEIGHT)
+    else:
+        e = graph.edges.select(SRC, DST).withColumn(WEIGHT, F.lit(1.0))
+        val = F.sum(WEIGHT)
+    if not graph.directed:
+        loops = e.where(F.col(SRC) == F.col(DST))
+        e = (e.where(F.col(SRC) != F.col(DST))
+             .unionByName(e.where(F.col(SRC) != F.col(DST))
+                          .select(F.col(DST).alias(SRC),
+                                  F.col(SRC).alias(DST), WEIGHT))
+             .unionByName(loops).unionByName(loops))  # diagonal counts 2
+    sp = e.groupBy(SRC, DST).agg(val.alias("value"))
+    if sparse:
+        return sp
+    ids = [r[0] for r in graph.vertices.select(ID).orderBy(ID).collect()]
+    dense = (graph.vertices.select(F.col(ID))
+             .join(sp, F.col(ID) == sp[SRC], "left")
+             .groupBy(ID)
+             .pivot(DST, ids)
+             .agg(F.coalesce(F.first("value"), F.lit(0.0)))
+             .na.fill(0.0)
+             .orderBy(ID))
+    return dense
+
+
+def from_adjacency(spark, matrix, directed: bool = True) -> Graph:
+    """igraph_adjacency ctor (structure_generators.c:265): a_ij parallel
+    edges i->j (directed) / max(a_ij, a_ji) undirected-collapse.
+    ``matrix``: list of rows (test scale) — melted via posexplode."""
+    n = len(matrix)
+    rows = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(matrix)],
+        "i long, row array<double>")
+    cells = rows.select("i", F.posexplode("row").alias("j", "a")) \
+        .where(F.col("a") > 0)
+    if directed:
+        e = cells.select(F.col("i").alias(SRC), F.col("j").alias(DST),
+                         F.col("a").cast("int").alias("mult"))
+    else:
+        e = (cells.select(F.least("i", "j").alias(SRC),
+                          F.greatest("i", "j").alias(DST),
+                          F.col("a").cast("int").alias("mult"))
+             .groupBy(SRC, DST).agg(F.max("mult").alias("mult")))
+    e = e.select(SRC, DST, F.explode(F.sequence(F.lit(1), F.col("mult")))
+                 .alias("_k")).drop("_k")
+    return Graph(e, spark.range(n).toDF(ID), directed=directed,
+                 _canonical=not directed)
     """igraph_contract_vertices (structural_properties.c:6306): quotient
     graph under ``mapping`` DataFrame(id, group)."""
     m = mapping.select(F.col(mapping.columns[0]).alias(ID),
