@@ -99,15 +99,19 @@ def _one_level(edges: DataFrame, m_total: float, seed: int,
                 - F.col("k") * (F.col("tot") - own * F.col("k"))
                 / F.lit(2.0 * m_total))
         movable = (F.pmod(F.xxhash64("v", F.lit(seed)), F.lit(2)) == parity)
+        # argmax via struct-max aggregation (gain desc, community asc)
+        # instead of a per-round window sort; k and comm are constant
+        # per vertex so max() is a safe carrier
         new = (cand.withColumn("g", gain)
-               .withColumn("rn", F.row_number().over(
-                   Window.partitionBy("v").orderBy(F.desc("g"), F.asc("c"))))
-               .where("rn = 1")
+               .groupBy("v")
+               .agg(F.max(F.struct(F.col("g"),
+                                   (-F.col("c")).alias("negc"))).alias("m"),
+                    F.max("k").alias("k"),
+                    F.max("comm").alias("prev"))
                .select("v",
-                       F.when(movable, F.col("c")).otherwise(F.col("comm"))
-                       .alias("comm"),
-                       "k",
-                       F.col("comm").alias("prev")))
+                       F.when(movable, -F.col("m.negc"))
+                        .otherwise(F.col("prev")).alias("comm"),
+                       "k", "prev"))
         new = new.persist()
         moves = int(new.where(F.col("comm") != F.col("prev")).count())
         state = new.select("v", "comm", "k").localCheckpoint(eager=True)

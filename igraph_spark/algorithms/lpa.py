@@ -96,10 +96,15 @@ def label_propagation(graph: Graph, weights: bool | None = None,
                  .where(F.col("nbr_label").isNotNull())
                  .groupBy(DST, "nbr_label")
                  .agg(F.sum(WEIGHT).alias("w")))
-        win = Window.partitionBy(DST).orderBy(F.desc("w"), F.asc("nbr_label"))
-        best = (tally.withColumn("rn", F.row_number().over(win))
-                .where("rn = 1")
-                .select(F.col(DST).alias(ID), F.col("nbr_label").alias("best")))
+        # dominant label with (weight desc, label asc) tie-break as a
+        # struct-max aggregation — two hash aggs with map-side partials
+        # instead of a per-round window sort over the tally
+        best = (tally.groupBy(DST)
+                .agg(F.max(F.struct(F.col("w"),
+                                    (-F.col("nbr_label")).alias("negl")))
+                     .alias("m"))
+                .select(F.col(DST).alias(ID),
+                        (-F.col("m.negl")).alias("best")))
         pick = (F.pmod(F.col(ID), F.lit(2)) if parity == "id"
                 else F.pmod(F.xxhash64(ID, F.lit(seed)), F.lit(2)))
         updatable = ((~F.col("fixed"))

@@ -88,7 +88,12 @@ def minhash_signatures(docs: DataFrame, col: str = "text",
     """
     consts = minhash_consts(num_hashes, seed)
     sh = _shingles(col, shingle, hash).alias("sh")
-    base = docs.select("doc_id", sh)
+    # spread the signature transform across the cluster: a small parquet
+    # input often arrives as one partition, which would serialize the
+    # O(docs * shingles * num_hashes) hashing onto one core
+    spark = docs.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = docs.repartition(width, "doc_id").select("doc_id", sh)
 
     def _perm(a: int, b: int):
         return lambda x: F.pmod(
@@ -195,6 +200,9 @@ def simhash(docs: DataFrame, col: str = "text",
     """
     nbits = 32 if hash == "md5_32" else 64
     hfn = _hash32 if hash == "md5_32" else F.xxhash64
+    spark = docs.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = docs.repartition(width, "doc_id")  # see minhash_signatures
     words = F.filter(F.split(F.lower(F.trim(F.col(col))), r"\s+"),
                      lambda w: F.length(w) > 0)
     hashes = F.transform(words, lambda w: hfn(w))
