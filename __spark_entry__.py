@@ -507,6 +507,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .localCheckpoint(eager=True))
         return out
 
+    def q_ppr(spark, sf):
+        # personalized PageRank: reset mass on every 100th vertex id,
+        # fixed iterations, unrolled-SQL oracle
+        from igraph_spark.algorithms.pagerank import personalized_pagerank
+        g = _graph(_order_edges(spark, sf), True)
+        reset = (g.vertices.where(F.col("id") % 100 == 0)
+                 .select("id", F.lit(1.0).alias("reset")))
+        with _lean_conf(spark):
+            out = (personalized_pagerank(g, reset=reset, weights=True,
+                                         tol=0.0, max_iter=_PR_ITERS)
+                   .select("id", F.round("pagerank", 8).alias("pagerank"))
+                   .localCheckpoint(eager=True))
+        return out
+
+    def q_sssp_weighted(spark, sf):
+        # Bellman-Ford weighted distances from vertex 0 on the sparse
+        # art graph with deterministic integer-valued weights
+        from igraph_spark.algorithms.paths import shortest_paths
+        e = _art_edges(spark, sf).withColumn(
+            "weight", (F.lit(1.0) + F.pmod(F.col("src") + F.col("dst"),
+                                           F.lit(7))).cast("double"))
+        g = _graph(e, False)
+        with _lean_conf(spark):
+            out = (shortest_paths(g, [0], mode="out", weights=True)
+                   .select("source", "id", F.round("dist", 9).alias("dist"))
+                   .localCheckpoint(eager=True))
+        return out
+
     def q_wcc_sizes(spark, sf):
         g = _graph(_order_edges(spark, sf), True)
         with _lean_conf(spark):
@@ -608,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": q_closeness,
         "random_walks": q_random_walks,
         "pagerank": q_pagerank,
+        "ppr": q_ppr,
+        "sssp_weighted": q_sssp_weighted,
         "wcc_sizes": q_wcc_sizes,
         "maximal_cliques": q_maximal_cliques,
         "community_compare": q_community_compare,
@@ -658,6 +688,84 @@ s{k} AS MATERIALIZED (
         prev = f"s{k}"
     sql += f"""
 SELECT id, round(pr / (SELECT sum(pr) FROM {prev}), 8) AS pagerank
+FROM {prev}"""
+    return sql
+
+
+def _ppr_oracle(iters: int, d: float = 0.85) -> str:
+    """Personalized variant of the pagerank unroll: reset mass on
+    id % 100 == 0 vertices (normalized), jump term sumfrom * reset."""
+    fact = 1.0 - d
+    sql = f"""
+WITH e AS MATERIALIZED ({_ORDER_E_SQL}),
+v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM v),
+rst AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.id % 100 = 0
+              THEN 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM v
+                          WHERE id % 100 = 0)
+              ELSE 0.0 END AS reset
+  FROM v),
+outd AS MATERIALIZED (
+  SELECT src, sum(greatest(weight, 0.0)) AS outdeg FROM e GROUP BY 1),
+links AS MATERIALIZED (
+  SELECT e.dst, e.src, e.weight / o.outdeg AS nw
+  FROM e JOIN outd o ON o.src = e.src WHERE o.outdeg <> 0),
+vinfo AS MATERIALIZED (
+  SELECT v.id, coalesce(o.outdeg, 0.0) = 0.0 AS dangling
+  FROM v LEFT JOIN outd o ON o.src = v.id),
+s0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM v)"""
+    prev = "s0"
+    for k in range(1, iters + 1):
+        sql += f""",
+agg{k} AS MATERIALIZED (
+  SELECT sum(CASE WHEN vi.dangling THEN s.pr ELSE s.pr * {fact!r} END)
+           AS sumfrom,
+         sum(s.pr) AS total
+  FROM {prev} s JOIN vinfo vi ON vi.id = s.id),
+flow{k} AS MATERIALIZED (
+  SELECT l.dst AS id, sum(s.pr * l.nw) AS flow
+  FROM links l JOIN {prev} s ON s.id = l.src GROUP BY 1),
+s{k} AS MATERIALIZED (
+  SELECT v.id,
+         ({d!r} * coalesce(f.flow, 0.0)
+          + (SELECT sumfrom FROM agg{k}) * r.reset)
+         / (SELECT total FROM agg{k}) AS pr
+  FROM v JOIN rst r ON r.id = v.id
+  LEFT JOIN flow{k} f ON f.id = v.id)"""
+        prev = f"s{k}"
+    sql += f"""
+SELECT id, round(pr / (SELECT sum(pr) FROM {prev}), 8) AS pagerank
+FROM {prev}"""
+    return sql
+
+
+def _sssp_oracle(rounds: int = 60) -> str:
+    # unrolled Bellman-Ford relaxation (min-aggregates per round are
+    # fine in non-recursive CTEs); weights replayed exactly, so the
+    # per-path float sums are bit-identical across engines
+    sql = f"""
+WITH e0 AS MATERIALIZED ({_ART_E_SQL}),
+ew AS MATERIALIZED (
+  SELECT src, dst, 1.0 + (src + dst) % 7 AS w FROM e0),
+sym AS MATERIALIZED (
+  SELECT src AS s, dst AS dd, w FROM ew
+  UNION ALL SELECT dst, src, w FROM ew),
+d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS id, 0.0 AS dist)"""
+    prev = "d0"
+    for k in range(1, rounds + 1):
+        sql += f""",
+d{k} AS MATERIALIZED (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM {prev}
+    UNION ALL
+    SELECT s.dd AS id, x.dist + s.w FROM {prev} x
+    JOIN sym s ON s.s = x.id)
+  GROUP BY id)"""
+        prev = f"d{k}"
+    sql += f"""
+SELECT CAST(0 AS BIGINT) AS source, id, round(dist, 9) AS dist
 FROM {prev}"""
     return sql
 
@@ -1520,6 +1628,8 @@ def oracle_sql() -> dict[str, str]:
         # CTE chain per superstep; hash-seeded operators use the
         # md5-portable variants so DuckDB replays the exact hashes
         "pagerank": _pagerank_oracle(_PR_ITERS),
+        "ppr": _ppr_oracle(_PR_ITERS),
+        "sssp_weighted": _sssp_oracle(),
         "eigenvector": _eigenvector_oracle(_EIG_ITERS),
         "hits": _hits_oracle(_HITS_ITERS),
         "lpa_community_sizes": _lpa_oracle(_LPA_SWEEPS),
