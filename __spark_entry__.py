@@ -561,6 +561,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .orderBy("label").localCheckpoint(eager=True))
         return out
 
+    def q_constraint(spark, sf):
+        from igraph_spark.algorithms.centrality import constraint
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            out = (constraint(g)
+                   .select("id", F.round("constraint", 6)
+                           .alias("constraint"))
+                   .localCheckpoint(eager=True))
+        return out
+
+    def q_centralization_degree(spark, sf):
+        from igraph_spark.algorithms.centrality import centralization_degree
+        g = _graph(_mod_edges(spark, sf), True)
+        val = centralization_degree(g, mode="all", loops=False)
+        return spark.createDataFrame([(round(val, 9),)],
+                                     "centralization double")
+
+    def q_scan1(spark, sf):
+        from igraph_spark.operators.structure import local_scan_1
+        g = _graph(_clique_edges(spark, sf), False)
+        with _lean_conf(spark):
+            out = local_scan_1(g).localCheckpoint(eager=True)
+        return out
+
     def q_maximal_cliques(spark, sf):
         from igraph_spark.algorithms.cliques import maximal_cliques
         g = _graph(_clique_edges(spark, sf), False)
@@ -640,6 +664,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": q_sssp_weighted,
         "wcc_sizes": q_wcc_sizes,
         "maximal_cliques": q_maximal_cliques,
+        "constraint": q_constraint,
+        "centralization_degree": q_centralization_degree,
+        "scan1": q_scan1,
         "community_compare": q_community_compare,
         "lpa_community_sizes": q_lpa_community_sizes,
         "louvain_sizes": q_louvain_sizes,
@@ -1194,6 +1221,64 @@ SELECT * FROM (
 WHERE n_cliques > 0"""
 
 
+def _constraint_oracle() -> str:
+    return f"""
+WITH em AS MATERIALIZED ({_MOD_E_SQL}),
+e AS (SELECT * FROM em WHERE src <> dst),
+v AS (SELECT src AS id FROM em UNION SELECT dst FROM em),
+msym AS MATERIALIZED (
+  SELECT i, j, CAST(sum(w) AS DOUBLE) AS m FROM (
+    SELECT src AS i, dst AS j, 1.0 AS w FROM e
+    UNION ALL SELECT dst, src, 1.0 FROM e) GROUP BY 1, 2),
+deg AS (SELECT i, sum(m) AS deg FROM msym GROUP BY 1),
+p AS MATERIALIZED (
+  SELECT msym.i, msym.j, m / deg AS p FROM msym JOIN deg USING (i)),
+ind AS MATERIALIZED (
+  SELECT a.i, b.j, sum(a.p * b.p) AS ind
+  FROM p a JOIN p b ON b.i = a.j WHERE a.i <> b.j GROUP BY 1, 2),
+terms AS (
+  SELECT i, (coalesce(p, 0.0) + coalesce(ind, 0.0))
+            * (coalesce(p, 0.0) + coalesce(ind, 0.0)) AS t
+  FROM p FULL JOIN ind USING (i, j)),
+c AS (SELECT i, sum(t) AS c FROM terms GROUP BY 1)
+SELECT v.id, round(c.c, 6) AS "constraint"
+FROM v JOIN c ON c.i = v.id"""
+
+
+def _centralization_degree_oracle() -> str:
+    # directed ALL-mode loop-free degree; tmax = 2(n-1)(n-2)
+    return f"""
+WITH em AS ({_MOD_E_SQL}),
+e AS (SELECT * FROM em WHERE src <> dst),
+v AS (SELECT src AS id FROM em UNION SELECT dst FROM em),
+deg AS (SELECT v.id, coalesce(d.c, 0) AS deg
+        FROM v LEFT JOIN (
+          SELECT x, count(*) AS c FROM (
+            SELECT src AS x FROM e UNION ALL SELECT dst FROM e)
+          GROUP BY 1) d ON d.x = v.id),
+agg AS (SELECT count(*) AS n, max(deg) AS mx, sum(deg) AS s FROM deg)
+SELECT round(CAST(n * mx - s AS DOUBLE)
+             / (2.0 * (n - 1) * (n - 2)), 9) AS centralization
+FROM agg"""
+
+
+def _scan1_oracle() -> str:
+    return f"""
+WITH e AS MATERIALIZED ({_CLIQUE_E_SQL}),
+v AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+deg AS (SELECT x AS id, count(*) AS d FROM (
+          SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+t3 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       FROM e e1 JOIN e e2 ON e2.u = e1.v
+       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tri AS (SELECT x AS id, count(*) AS t FROM (
+          SELECT a AS x FROM t3 UNION ALL SELECT b FROM t3
+          UNION ALL SELECT c FROM t3) GROUP BY 1)
+SELECT v.id,
+       CAST(coalesce(deg.d, 0) + coalesce(tri.t, 0) AS BIGINT) AS scan1
+FROM v LEFT JOIN deg USING (id) LEFT JOIN tri USING (id)"""
+
+
 def _community_compare_oracle() -> str:
     # contingency-table NMI / Rand / split-join over id%4 vs id%6
     return f"""
@@ -1641,6 +1726,9 @@ def oracle_sql() -> dict[str, str]:
         "shortest_paths": _shortest_paths_oracle(_BFS_CAP),
         "community_compare": _community_compare_oracle(),
         "maximal_cliques": _maximal_cliques_oracle(),
+        "constraint": _constraint_oracle(),
+        "centralization_degree": _centralization_degree_oracle(),
+        "scan1": _scan1_oracle(),
         "articulation_points": _articulation_oracle(),
         "biconnected_sizes": _biconnected_sizes_oracle(),
         "langid": _langid_oracle(),

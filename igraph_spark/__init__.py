@@ -47,6 +47,9 @@ from igraph_spark.algorithms.centrality import (
     eigenvector_centrality,
     hits,
     dyad_census,
+    centralization,
+    centralization_degree,
+    constraint,
 )
 from igraph_spark.algorithms.motifs import triad_census
 from igraph_spark.algorithms.biconnected import (
@@ -91,6 +94,9 @@ __all__ = [
     "eigenvector_centrality",
     "hits",
     "dyad_census",
+    "centralization",
+    "centralization_degree",
+    "constraint",
     "triad_census",
     "articulation_points",
     "biconnected_components",

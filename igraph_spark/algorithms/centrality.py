@@ -152,6 +152,77 @@ def hits(graph: Graph, tol: float = 1e-9, max_iter: int = 100
     return out
 
 
+def centralization(scores: DataFrame, theoretical_max: float,
+                   normalized: bool = True) -> float:
+    """igraph_centralization
+    (/root/reference/src/centrality.c:2800-2817):
+    n * max(score) - sum(score), optionally / theoretical_max.
+    ``scores``: DataFrame whose LAST column is the score."""
+    col = scores.columns[-1]
+    row = scores.agg(F.count("*").alias("n"), F.max(col).alias("mx"),
+                     F.sum(col).alias("s")).first()
+    if not row.n:
+        return float("nan")
+    cent = row.n * float(row.mx) - float(row.s)
+    return cent / theoretical_max if normalized else cent
+
+
+def centralization_degree(graph: Graph, mode: str = "all",
+                          loops: bool = False,
+                          normalized: bool = True) -> float:
+    """igraph_centralization_degree (centrality.c:2829-2884) with the
+    reference's theoretical maxima (centrality.c:2929-2972)."""
+    n = graph.vcount()
+    if graph.directed:
+        if mode in ("in", "out"):
+            tmax = (n - 1) * ((n - 1) if not loops else n)
+        else:
+            tmax = 2 * (n - 1) * ((n - 2) if not loops else (n - 1))
+    else:
+        tmax = (n - 1) * ((n - 2) if not loops else n)
+    return centralization(graph.degree(mode, loops=loops), float(tmax),
+                          normalized)
+
+
+def constraint(graph: Graph, weights: bool | None = None) -> DataFrame:
+    """Burt's constraint (igraph_constraint,
+    /root/reference/src/structural_properties.c:2538) ->
+    DataFrame(id, constraint); isolated vertices get NaN.
+
+    Proportional tie strength p_ij = (w_ij + w_ji) / deg_i with deg_i
+    the loop-free ALL-mode strength (structural_properties.c constraint
+    body: in- and out-incidences both contribute, loops excluded);
+    c_i = sum_j (p_ij + sum_q p_iq * p_qj)^2.  Pure joins + aggs: one
+    symmetrized pair table, one 2-hop self-join.
+    """
+    use_w = graph.has_weights if weights is None else bool(weights)
+    e = graph.weighted_edges() if use_w else \
+        graph.edges.select(SRC, DST).withColumn(WEIGHT, F.lit(1.0))
+    e = e.where(F.col(SRC) != F.col(DST))
+    msym = (e.select(F.col(SRC).alias("i"), F.col(DST).alias("j"), WEIGHT)
+            .unionByName(e.select(F.col(DST).alias("i"),
+                                  F.col(SRC).alias("j"), WEIGHT))
+            .groupBy("i", "j").agg(F.sum(WEIGHT).alias("m")))
+    deg = msym.groupBy("i").agg(F.sum("m").alias("deg"))
+    p = (msym.join(deg, "i")
+         .select("i", "j", (F.col("m") / F.col("deg")).alias("p")))
+    ind = (p.select(F.col("i"), F.col("j").alias("q"), F.col("p").alias("piq"))
+           .join(p.select(F.col("i").alias("q"), F.col("j"),
+                          F.col("p").alias("pqj")), "q")
+           .where(F.col("i") != F.col("j"))
+           .groupBy("i", "j").agg(F.sum(F.col("piq") * F.col("pqj"))
+                                  .alias("ind")))
+    s = F.coalesce("p", F.lit(0.0)) + F.coalesce("ind", F.lit(0.0))
+    terms = (p.join(ind, ["i", "j"], "full")
+             .select("i", (s * s).alias("t")))  # s*s, not pow: bit-equal
+                                                # across engines
+    c = terms.groupBy("i").agg(F.sum("t").alias("constraint"))
+    return (graph.vertices.select(ID)
+            .join(c.withColumnRenamed("i", ID), ID, "left")
+            .select(ID, F.coalesce("constraint", F.lit(float("nan")))
+                    .alias("constraint")))
+
+
 def dyad_census(graph: Graph) -> DataFrame:
     """igraph_dyad_census (reference /root/reference/src/motifs.c):
     counts of mutual / asymmetric / null dyads -> one row

@@ -184,6 +184,23 @@ def linegraph(graph: Graph, ids: str = "struct") -> DataFrame:
     return out.select(F.col("e1").alias(SRC), F.col("e2").alias(DST))
 
 
+def local_scan_1(graph: Graph) -> DataFrame:
+    """Scan-1 statistic (igraph_local_scan_1_ecount,
+    /root/reference/src/scan.c:331-408): per-vertex edge count of the
+    closed 1-neighborhood -> DataFrame(id, scan1).
+
+    For a simple undirected graph the edges inside N[v] are exactly the
+    deg(v) incident edges plus one edge per triangle at v, so scan-1 =
+    degree + adjacent_triangles — a composition of existing operators
+    (both already distributed)."""
+    from igraph_spark.algorithms.triangles import adjacent_triangles
+    deg = graph.degree("all", loops=False)
+    tri = adjacent_triangles(graph)
+    return (deg.join(tri, ID)
+            .select(ID, (F.col("degree") + F.col("triangles"))
+                    .cast("long").alias("scan1")))
+
+
 def get_adjacency(graph: Graph, sparse: bool = True,
                   weighted: bool = False) -> DataFrame:
     """igraph_get_adjacency (/root/reference/src/conversion.c:69).
