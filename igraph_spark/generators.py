@@ -258,6 +258,56 @@ def zipf_skew(spark: SparkSession, n: int, m: int, alpha: float = 2.0,
     return Graph(e, spark.range(n).toDF("id"), directed=directed)
 
 
+def watts_strogatz(spark: SparkSession, n: int, k: int = 4,
+                   p: float = 0.1, seed: int = 42) -> Graph:
+    """Watts-Strogatz small world (games.c:2944): ring lattice where
+    each vertex links its k/2 clockwise neighbors, then each edge's
+    endpoint is rewired to a hash-uniform vertex with probability p.
+    Deterministic at any parallelism (hash-driven rewiring, no RNG
+    state); self-loops produced by rewiring are dropped like the
+    reference's loops=false default."""
+    if k % 2 or k <= 0:
+        raise ValueError("watts_strogatz needs even k > 0")
+    base = spark.range(n).toDF("i").crossJoin(
+        spark.range(1, k // 2 + 1).toDF("j"))
+    lattice = base.select(
+        F.col("i").alias("src"),
+        F.pmod(F.col("i") + F.col("j"), F.lit(n)).alias("dst"),
+        (F.col("i") * (k // 2) + F.col("j")).alias("eid"))
+    rewire = _u01(F.col("eid"), seed, 21) < p
+    new_dst = F.pmod(F.xxhash64("eid", F.lit(seed), F.lit(22)), F.lit(n))
+    e = (lattice.select("src",
+                        F.when(rewire, new_dst).otherwise(F.col("dst"))
+                        .alias("dst"))
+         .where(F.col("src") != F.col("dst")))
+    return Graph(e, spark.range(n).toDF("id"), directed=False)
+
+
+def geometric(spark: SparkSession, n: int, radius: float,
+              seed: int = 42, torus: bool = False) -> Graph:
+    """Geometric random graph (games.c:2040): n points at hash-uniform
+    unit-square coordinates, edge iff distance < radius.  O(n^2)
+    candidate pairs — test scale, like the reference's own use."""
+    pts = spark.range(n).select(
+        F.col("id"),
+        _u01(F.col("id"), seed, 31).alias("x"),
+        _u01(F.col("id"), seed, 32).alias("y"))
+    a = pts.select(F.col("id").alias("src"), F.col("x").alias("xa"),
+                   F.col("y").alias("ya"))
+    b = pts.select(F.col("id").alias("dst"), F.col("x").alias("xb"),
+                   F.col("y").alias("yb"))
+    dx = F.abs(F.col("xa") - F.col("xb"))
+    dy = F.abs(F.col("ya") - F.col("yb"))
+    if torus:
+        dx = F.least(dx, 1.0 - dx)
+        dy = F.least(dy, 1.0 - dy)
+    e = (a.crossJoin(b).where(F.col("src") < F.col("dst"))
+         .where(dx * dx + dy * dy < radius * radius)
+         .select("src", "dst"))
+    return Graph(e, spark.range(n).toDF("id"), directed=False,
+                 _canonical=True)
+
+
 def sbm(spark: SparkSession, n: int, blocks: int, p_in: float, p_out: float,
         seed: int = 42) -> Graph:
     """Stochastic block model (reference /root/reference/src/sbm.c:71) via

@@ -57,6 +57,27 @@ def test_gnm_exact_edge_count_dense(spark):
     assert g.edges.select("src", "dst").distinct().count() == 400
 
 
+def test_watts_strogatz_degree_and_determinism(spark):
+    from igraph_spark.generators import watts_strogatz
+    g = watts_strogatz(spark, 500, k=4, p=0.1, seed=3)
+    deg = g.sym_edges().groupBy("src").count()
+    row = deg.agg(F.avg("count").alias("av")).first()
+    assert abs(float(row.av) - 4.0) < 0.2  # mean degree ~ k
+    a = sorted((r.src, r.dst) for r in g.edges.collect())
+    b = sorted((r.src, r.dst)
+               for r in watts_strogatz(spark, 500, 4, 0.1, 3)
+               .edges.repartition(9).collect())
+    assert a == b
+
+
+def test_geometric_edge_count_near_expectation(spark):
+    from igraph_spark.generators import geometric
+    g = geometric(spark, 300, 0.12, seed=8)
+    # pi*r^2 pair probability, minus border effects => a loose band
+    expected = 300 * 299 / 2 * 3.14159 * 0.12 ** 2
+    assert 0.6 * expected < g.ecount() < 1.1 * expected
+
+
 def test_get_shortest_paths_witnesses(spark):
     g = gnm(spark, n=60, m=150, seed=21, directed=True)
     p = get_shortest_paths(g, [0, 1], mode="out")
