@@ -561,6 +561,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .orderBy("label").localCheckpoint(eager=True))
         return out
 
+    def q_girth(spark, sf):
+        from igraph_spark.algorithms.paths import girth
+        g = _graph(_art_edges(spark, sf), False)
+        with _lean_conf(spark):
+            val = girth(g)
+        return spark.createDataFrame([(val,)], "girth long")
+
+    def q_subiso_c4(spark, sf):
+        # injective mappings of the 4-cycle pattern (VF2-count analog)
+        from igraph_spark.algorithms.isomorphism import (
+            count_subisomorphisms)
+        g = _graph(_clique_edges(spark, sf), False)
+        with _lean_conf(spark):
+            n = count_subisomorphisms(g, [(0, 1), (1, 2), (2, 3), (3, 0)])
+        return spark.createDataFrame([(n,)], "n_mappings long")
+
     def q_constraint(spark, sf):
         from igraph_spark.algorithms.centrality import constraint
         g = _graph(_mod_edges(spark, sf), True)
@@ -664,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": q_sssp_weighted,
         "wcc_sizes": q_wcc_sizes,
         "maximal_cliques": q_maximal_cliques,
+        "girth": q_girth,
+        "subiso_c4": q_subiso_c4,
         "constraint": q_constraint,
         "centralization_degree": q_centralization_degree,
         "scan1": q_scan1,
@@ -1221,6 +1239,53 @@ SELECT * FROM (
 WHERE n_cliques > 0"""
 
 
+def _girth_oracle(cap: int = 32) -> str:
+    # Itai-Rodeh bound made exact: min over sources of d(u)+d(w)+1 for
+    # non-tree edges (min-id parents, null-safe exclusion); the art
+    # graph has no loops (id spaces disjoint) or multi-edges (distinct)
+    return f"""
+WITH RECURSIVE e0 AS ({_ART_E_SQL}),
+sym AS (SELECT DISTINCT s, d FROM (
+          SELECT src AS s, dst AS d FROM e0
+          UNION ALL SELECT dst, src FROM e0)),
+v AS (SELECT DISTINCT s AS id FROM sym),
+r AS (SELECT id AS source, id, 0 AS dist FROM v
+      UNION
+      SELECT r.source, sym.d, r.dist + 1
+      FROM r JOIN sym ON sym.s = r.id WHERE r.dist < {cap}),
+md AS (SELECT source, id, min(dist) AS dist FROM r GROUP BY 1, 2),
+par AS (SELECT d.source, d.id, min(sym.s) AS parent
+        FROM md d JOIN sym ON sym.d = d.id
+        JOIN md p ON p.source = d.source AND p.id = sym.s
+                 AND p.dist = d.dist - 1
+        WHERE d.dist > 0 GROUP BY 1, 2),
+cand AS (
+  SELECT du.dist + dv.dist + 1 AS g
+  FROM e0
+  JOIN md du ON du.id = e0.src
+  JOIN md dv ON dv.source = du.source AND dv.id = e0.dst
+  LEFT JOIN par pu ON pu.source = du.source AND pu.id = e0.src
+  LEFT JOIN par pv ON pv.source = du.source AND pv.id = e0.dst
+  WHERE pu.parent IS DISTINCT FROM e0.dst
+    AND pv.parent IS DISTINCT FROM e0.src)
+SELECT CAST(min(g) AS BIGINT) AS girth FROM cand"""
+
+
+def _subiso_c4_oracle() -> str:
+    # 4-way self-join = all injective 4-cycle mappings; adjacent-vertex
+    # distinctness is implied by loop-free edges, the two diagonals are
+    # explicit
+    return f"""
+WITH e AS MATERIALIZED ({_CLIQUE_E_SQL}),
+sym AS MATERIALIZED (SELECT u AS x, v AS y FROM e
+                     UNION ALL SELECT v, u FROM e)
+SELECT CAST(count(*) AS BIGINT) AS n_mappings
+FROM sym e1 JOIN sym e2 ON e2.x = e1.y
+JOIN sym e3 ON e3.x = e2.y
+JOIN sym e4 ON e4.x = e3.y AND e4.y = e1.x
+WHERE e1.x <> e2.y AND e1.y <> e3.y"""
+
+
 def _constraint_oracle() -> str:
     return f"""
 WITH em AS MATERIALIZED ({_MOD_E_SQL}),
@@ -1726,6 +1791,8 @@ def oracle_sql() -> dict[str, str]:
         "shortest_paths": _shortest_paths_oracle(_BFS_CAP),
         "community_compare": _community_compare_oracle(),
         "maximal_cliques": _maximal_cliques_oracle(),
+        "girth": _girth_oracle(),
+        "subiso_c4": _subiso_c4_oracle(),
         "constraint": _constraint_oracle(),
         "centralization_degree": _centralization_degree_oracle(),
         "scan1": _scan1_oracle(),

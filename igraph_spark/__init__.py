@@ -57,7 +57,11 @@ from igraph_spark.algorithms.biconnected import (
     biconnected_components,
 )
 from igraph_spark.algorithms.community_metrics import compare_communities
-from igraph_spark.algorithms.paths import get_shortest_paths
+from igraph_spark.algorithms.isomorphism import (
+    count_subisomorphisms,
+    subgraph_isomorphisms,
+)
+from igraph_spark.algorithms.paths import get_shortest_paths, girth
 from igraph_spark.algorithms.paths import (
     bfs_distances,
     shortest_paths,
@@ -101,6 +105,9 @@ __all__ = [
     "articulation_points",
     "biconnected_components",
     "compare_communities",
+    "count_subisomorphisms",
+    "subgraph_isomorphisms",
+    "girth",
     "get_shortest_paths",
     "bfs_distances",
     "shortest_paths",

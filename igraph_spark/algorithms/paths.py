@@ -110,20 +110,10 @@ def shortest_paths(graph: Graph, sources, mode: str = "out",
     return state
 
 
-def get_shortest_paths(graph: Graph, sources, mode: str = "out",
-                       max_hops: int = 10000) -> DataFrame:
-    """igraph_get_shortest_paths analog
-    (/root/reference/src/structural_properties.c:645) ->
-    DataFrame(source, id, dist, path: array<long>) with one shortest
-    path witness per reachable (source, id) pair.
-
-    The witness is deterministic at any parallelism: each vertex's BFS
-    parent is its minimum-id predecessor one level closer to the
-    source, so the returned path is the minimum-parent chain (igraph
-    returns an arbitrary shortest path; we pin the choice so results
-    are reproducible and oracle-checkable).  Path reconstruction is an
-    iterative prepend join — O(dist) rounds over (source, vertex) rows.
-    """
+def _bfs_parents(graph: Graph, sources, mode: str = "out",
+                 max_hops: int = 10000) -> DataFrame:
+    """Multi-source BFS with deterministic min-id parent pointers ->
+    DataFrame(source, id, dist, parent) (parent null at the source)."""
     spark = graph.edges.sparkSession
     e = (_trav(graph, mode, weighted=False).select(SRC, DST)
          .where(F.col(SRC) != F.col(DST)).distinct()
@@ -153,6 +143,60 @@ def get_shortest_paths(graph: Graph, sources, mode: str = "out",
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("source", ID)
     e.unpersist()
+    return visited
+
+
+def girth(graph: Graph) -> int | None:
+    """igraph_girth (/root/reference/src/structural_properties.c:3762):
+    length of the shortest cycle, None for forests.
+
+    Loops are 1-cycles and parallel edges 2-cycles (the reference's
+    convention).  Otherwise the Itai-Rodeh BFS bound made exact: from
+    every source, for every NON-TREE edge (u, w),
+    d(u) + d(w) + 1 upper-bounds some contained cycle and the minimum
+    over all sources attains the girth (from any vertex ON a shortest
+    cycle the opposite edge realizes it; tree edges — parent(w) = u or
+    parent(u) = w — are excluded, and the min-parent rule guarantees an
+    even cycle's second opposite edge stays non-tree).  All sources run
+    in one BSP sweep; O(V*E) candidate rows — test/moderate scale like
+    the reference's per-vertex loop.
+    """
+    e_all = graph.edges.select(SRC, DST)
+    if not e_all.where(F.col(SRC) == F.col(DST)).isEmpty():
+        return 1
+    canon = e_all.select(F.least(SRC, DST).alias("u"),
+                         F.greatest(SRC, DST).alias("v"))
+    if not canon.groupBy("u", "v").count().where("count > 1").isEmpty():
+        return 2
+    simple = canon.distinct()
+    vis = _bfs_parents(graph, graph.vertices.select(ID), mode="all")
+    du = vis.select(F.col("source").alias("s"), F.col(ID).alias("u"),
+                    F.col("dist").alias("du"), F.col("parent").alias("pu"))
+    dw = vis.select(F.col("source").alias("s"), F.col(ID).alias("v"),
+                    F.col("dist").alias("dv"), F.col("parent").alias("pv"))
+    cand = (simple.join(du, "u").join(dw, ["s", "v"])
+            .where(~(F.col("pu").eqNullSafe(F.col("v"))
+                     | F.col("pv").eqNullSafe(F.col("u"))))
+            .agg(F.min(F.col("du") + F.col("dv") + 1).alias("g"))
+            .first())
+    return int(cand.g) if cand.g is not None else None
+
+
+def get_shortest_paths(graph: Graph, sources, mode: str = "out",
+                       max_hops: int = 10000) -> DataFrame:
+    """igraph_get_shortest_paths analog
+    (/root/reference/src/structural_properties.c:645) ->
+    DataFrame(source, id, dist, path: array<long>) with one shortest
+    path witness per reachable (source, id) pair.
+
+    The witness is deterministic at any parallelism: each vertex's BFS
+    parent is its minimum-id predecessor one level closer to the
+    source, so the returned path is the minimum-parent chain (igraph
+    returns an arbitrary shortest path; we pin the choice so results
+    are reproducible and oracle-checkable).  Path reconstruction is an
+    iterative prepend join — O(dist) rounds over (source, vertex) rows.
+    """
+    visited = _bfs_parents(graph, sources, mode, max_hops)
 
     parents = visited.select(F.col("source").alias("psrc"),
                              F.col(ID).alias("pid"),
