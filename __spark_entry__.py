@@ -238,6 +238,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (similarity.similarity_jaccard(g)
                 .select("a", "b", F.round("jaccard", 9).alias("jaccard")))
 
+    def q_dice(spark, sf):
+        g = _graph(_supplier_edges(spark, sf), False)
+        return (similarity.similarity_dice(g)
+                .select("a", "b", F.round("dice", 9).alias("dice")))
+
+    def q_inv_log_weighted(spark, sf):
+        g = _graph(_supplier_edges(spark, sf), False)
+        return (similarity.similarity_inverse_log_weighted(g)
+                .select("a", "b", F.round("score", 6).alias("score")))
+
+    def q_knn(spark, sf):
+        g = _graph(_mod_edges(spark, sf), True)
+        return (structure.avg_nearest_neighbor_degree(g)
+                .select("id", F.round("knn", 9).alias("knn")))
+
+    def q_assortativity(spark, sf):
+        g = _graph(_mod_edges(spark, sf), True)
+        return spark.createDataFrame(
+            [(round(structure.assortativity_degree(g), 6),)],
+            "assortativity double")
+
+    def q_path_length_hist(spark, sf):
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            out = (structure.path_length_hist(g)
+                   .localCheckpoint(eager=True))
+        return out
+
     def q_compose(spark, sf):
         cs = _graph(_order_edges(spark, sf), True)
         sn = _t(spark, sf, "supplier").select(
@@ -641,6 +669,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "cocitation": q_cocitation,
         "jaccard": q_jaccard,
+        "dice": q_dice,
+        "inv_log_weighted": q_inv_log_weighted,
+        "knn": q_knn,
+        "assortativity": q_assortativity,
+        "path_length_hist": q_path_length_hist,
         "compose": q_compose,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
@@ -1594,6 +1627,59 @@ def oracle_sql() -> dict[str, str]:
           FROM common
           JOIN deg da ON da.id = a
           JOIN deg db ON db.id = b
+        """,
+        "dice": simple_sup + """
+          , deg AS (SELECT id, count(*) AS d FROM nbr GROUP BY 1),
+          common AS (
+            SELECT x.id AS a, y.id AS b, count(*) AS c
+            FROM nbr x JOIN nbr y ON x.nbr = y.nbr AND x.id < y.id
+            GROUP BY 1, 2)
+          SELECT a, b,
+                 round(2.0 * c / (da.d + db.d), 9) AS dice
+          FROM common
+          JOIN deg da ON da.id = a
+          JOIN deg db ON db.id = b
+        """,
+        "inv_log_weighted": simple_sup + """
+          , deg AS (SELECT id, count(*) AS d FROM nbr GROUP BY 1),
+          nw AS (SELECT nbr.id, nbr.nbr, 1.0 / ln(dz.d) AS w
+                 FROM nbr JOIN deg dz ON dz.id = nbr.nbr)
+          SELECT x.id AS a, y.id AS b, round(sum(x.w), 6) AS score
+          FROM nw x JOIN nw y ON x.nbr = y.nbr AND x.id < y.id
+          GROUP BY 1, 2
+        """,
+        "knn": f"""
+          WITH em AS ({_MOD_E_SQL}),
+          sym AS (SELECT DISTINCT s, d FROM (
+                    SELECT src AS s, dst AS d FROM em WHERE src <> dst
+                    UNION ALL
+                    SELECT dst, src FROM em WHERE src <> dst)),
+          deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1)
+          SELECT sym.s AS id,
+                 round(CAST(sum(nd.deg) AS DOUBLE) / count(*), 9) AS knn
+          FROM sym JOIN deg nd ON nd.s = sym.d
+          GROUP BY 1
+        """,
+        "assortativity": f"""
+          WITH em AS ({_MOD_E_SQL}),
+          e AS (SELECT * FROM em WHERE src <> dst),
+          dout AS (SELECT src, count(*) AS d_s FROM e GROUP BY 1),
+          din AS (SELECT dst, count(*) AS d_d FROM e GROUP BY 1)
+          SELECT round(corr(d_s, d_d), 6) AS assortativity
+          FROM e JOIN dout USING (src) JOIN din USING (dst)
+        """,
+        "path_length_hist": f"""
+          WITH RECURSIVE em AS ({_MOD_E_SQL}),
+          e AS (SELECT * FROM em WHERE src <> dst),
+          v AS (SELECT DISTINCT id FROM (
+                  SELECT src AS id FROM em UNION ALL SELECT dst FROM em)),
+          r AS (SELECT id AS source, id, 0 AS dist FROM v
+                UNION
+                SELECT r.source, e.dst, r.dist + 1
+                FROM r JOIN e ON e.src = r.id WHERE r.dist < {_BFS_CAP}),
+          md AS (SELECT source, id, min(dist) AS dist FROM r GROUP BY 1, 2)
+          SELECT dist, CAST(count(*) AS BIGINT) AS count
+          FROM md WHERE dist > 0 GROUP BY 1
         """,
         "compose": f"""
           WITH e AS ({_ORDER_E_SQL}),
