@@ -266,6 +266,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .localCheckpoint(eager=True))
         return out
 
+    def q_bipartite_projection(spark, sf):
+        # suppliers sharing a customer (order graph is bipartite by
+        # construction: even=customer, odd=supplier ids)
+        from igraph_spark.operators.bipartite import bipartite_projection
+        g = _graph(_order_edges(spark, sf), False)
+        types = g.vertices.select(
+            "id", F.pmod(F.col("id"), F.lit(2)).alias("type"))
+        proj = bipartite_projection(g, types, which=1)
+        return proj.edges.select("src", "dst", "weight")
+
     def q_compose(spark, sf):
         cs = _graph(_order_edges(spark, sf), True)
         sn = _t(spark, sf, "supplier").select(
@@ -674,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "assortativity": q_assortativity,
         "path_length_hist": q_path_length_hist,
+        "bipartite_projection": q_bipartite_projection,
         "compose": q_compose,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
@@ -1680,6 +1691,14 @@ def oracle_sql() -> dict[str, str]:
           md AS (SELECT source, id, min(dist) AS dist FROM r GROUP BY 1, 2)
           SELECT dist, CAST(count(*) AS BIGINT) AS count
           FROM md WHERE dist > 0 GROUP BY 1
+        """,
+        "bipartite_projection": f"""
+          WITH e AS ({_ORDER_E_SQL}),
+          inc AS (SELECT dst AS m, src AS o FROM e)
+          SELECT x.m AS src, y.m AS dst,
+                 CAST(count(*) AS DOUBLE) AS weight
+          FROM inc x JOIN inc y ON x.o = y.o AND x.m < y.m
+          GROUP BY 1, 2
         """,
         "compose": f"""
           WITH e AS ({_ORDER_E_SQL}),

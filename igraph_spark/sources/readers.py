@@ -32,19 +32,36 @@ def read_edgelist(spark: SparkSession, path: str, directed: bool = True,
 
 
 def read_ncol(spark: SparkSession, path: str, directed: bool = False,
-              weights: bool = True, sep: str = " "
-              ) -> tuple[Graph, DataFrame]:
+              weights: bool = True, sep: str = " ",
+              id_order: str = "sorted") -> tuple[Graph, DataFrame]:
     """igraph_read_graph_ncol (foreign.c:193): ``name name [weight]``
     lines.  Returns (graph, names) where names = DataFrame(id, name).
-    """
+
+    ``id_order``: 'sorted' (default — sorted-name dense rank, the
+    parallelism-friendly dictionary policy, module docstring) or
+    'first_seen' — igraph's exact trie semantics: ids assigned in order
+    of first appearance scanning the file sequentially (source name
+    before target within a line).  first_seen needs global token
+    positions, which only exist for this inherently single-file legacy
+    format — the one zipWithIndex in the package."""
     schema = "a string, b string" + (", weight double" if weights else "")
     raw = spark.read.option("sep", sep).schema(schema).csv(path) \
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-    names = (raw.select(F.col("a").alias("name"))
-             .unionByName(raw.select(F.col("b").alias("name")))
-             .distinct()
-             .select((F.dense_rank().over(Window.orderBy("name")) - 1)
-                     .cast("long").alias("id"), "name"))
+    if id_order == "first_seen":
+        toks = (raw.select("a", "b").rdd
+                .zipWithIndex()
+                .flatMap(lambda t: [(t[0]["a"], 2 * t[1]),
+                                    (t[0]["b"], 2 * t[1] + 1)])
+                .toDF(["name", "pos"]))
+        names = (toks.groupBy("name").agg(F.min("pos").alias("first_pos"))
+                 .select((F.dense_rank().over(Window.orderBy("first_pos"))
+                          - 1).cast("long").alias("id"), "name"))
+    else:
+        names = (raw.select(F.col("a").alias("name"))
+                 .unionByName(raw.select(F.col("b").alias("name")))
+                 .distinct()
+                 .select((F.dense_rank().over(Window.orderBy("name")) - 1)
+                         .cast("long").alias("id"), "name"))
     e = (raw
          .join(names.select(F.col("name").alias("a"),
                             F.col("id").alias("src")), "a")
@@ -165,6 +182,79 @@ def write_graphml(graph: Graph, names: DataFrame | None, path: str) -> None:
         fh.write('  </graph>\n</graphml>\n')
 
 
+def read_gml(spark: SparkSession, path: str) -> tuple[Graph, DataFrame]:
+    """igraph_read_graph_gml analog (/root/reference/src/foreign.c:1096)
+    -> (graph, names).  The single-document format is read wholetext
+    and the node/edge blocks are exploded with Catalyst regex — no
+    per-row Python.  Supported keys: node id/label, edge source/target/
+    value (-> weight), graph-level ``directed 0|1``."""
+    txt = spark.read.text(path, wholetext=True).select(
+        F.col("value").alias("doc"))
+    directed_row = txt.select(
+        F.regexp_extract("doc", r"directed\s+(\d)", 1).alias("d")).first()
+    directed = directed_row.d == "1"
+
+    nodes = (txt.select(F.explode(F.regexp_extract_all(
+                "doc", F.lit(r"node\s*\[([^\]]*)\]"), 1)).alias("blk"))
+             .select(F.regexp_extract("blk", r"id\s+(-?\d+)", 1)
+                     .cast("long").alias("gml_id"),
+                     F.regexp_extract("blk", r'label\s+"([^"]*)"', 1)
+                     .alias("name")))
+    nodes = nodes.select(
+        "gml_id",
+        F.when(F.col("name") == "", F.col("gml_id").cast("string"))
+         .otherwise(F.col("name")).alias("name"))
+    names = nodes.select(
+        (F.dense_rank().over(Window.orderBy("gml_id")) - 1)
+        .cast("long").alias("id"), "gml_id", "name")
+
+    edges = (txt.select(F.explode(F.regexp_extract_all(
+                "doc", F.lit(r"edge\s*\[([^\]]*)\]"), 1)).alias("blk"))
+             .select(F.regexp_extract("blk", r"source\s+(-?\d+)", 1)
+                     .cast("long").alias("gs"),
+                     F.regexp_extract("blk", r"target\s+(-?\d+)", 1)
+                     .cast("long").alias("gt"),
+                     F.regexp_extract("blk", r"value\s+([-0-9.eE]+)", 1)
+                     .alias("val")))
+    e = (edges
+         .join(names.select(F.col("gml_id").alias("gs"),
+                            F.col("id").alias("src")), "gs")
+         .join(names.select(F.col("gml_id").alias("gt"),
+                            F.col("id").alias("dst")), "gt"))
+    if edges.where(F.col("val") != "").isEmpty():
+        e = e.select("src", "dst")
+    else:
+        e = e.select("src", "dst",
+                     F.when(F.col("val") == "", F.lit(1.0))
+                      .otherwise(F.col("val").cast("double"))
+                      .alias("weight"))
+    return Graph(e, names.select("id"), directed=directed), \
+        names.select("id", "name")
+
+
+def write_gml(graph: Graph, names: DataFrame | None, path: str) -> None:
+    """igraph_write_graph_gml analog (foreign.c writer): streamed
+    single-document writer like write_graphml."""
+    has_w = graph.has_weights
+    if names is None:
+        names = graph.vertices.select(
+            F.col("id"), F.col("id").cast("string").alias("name"))
+    e = graph.weighted_edges() if has_w else graph.edges.select("src", "dst")
+    with open(path, "w") as fh:
+        fh.write("graph [\n")
+        fh.write(f"  directed {1 if graph.directed else 0}\n")
+        for r in names.orderBy("id").toLocalIterator():
+            fh.write(f'  node [ id {r["id"]} label "{r["name"]}" ]\n')
+        for r in e.toLocalIterator():
+            if has_w:
+                fh.write(f'  edge [ source {r["src"]} target {r["dst"]}'
+                         f' value {r["weight"]!r} ]\n')
+            else:
+                fh.write(f'  edge [ source {r["src"]} '
+                         f'target {r["dst"]} ]\n')
+        fh.write("]\n")
+
+
 def read_graph(spark: SparkSession, path: str, fmt: str, **kw):
     """Dispatcher mirroring igraph's per-format readers; unsupported
     legacy formats are explicit non-goals (SURVEY.md §2.1)."""
@@ -174,8 +264,11 @@ def read_graph(spark: SparkSession, path: str, fmt: str, **kw):
         return read_ncol(spark, path, **kw)
     if fmt == "graphml":
         return read_graphml(spark, path, **kw)
-    if fmt in ("pajek", "gml", "dl", "lgl", "dimacs", "graphdb"):
+    if fmt == "gml":
+        return read_gml(spark, path, **kw)
+    if fmt in ("pajek", "dl", "lgl", "dimacs", "graphdb"):
         raise NotImplementedError(
             f"{fmt}: legacy single-file format, out of v1 scope "
-            "(SURVEY.md §2.1); convert to edgelist/ncol/parquet/graphml")
+            "(SURVEY.md §2.1); convert to edgelist/ncol/parquet/"
+            "graphml/gml")
     raise ValueError(f"unknown format {fmt!r}")
