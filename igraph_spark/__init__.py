@@ -62,6 +62,7 @@ from igraph_spark.algorithms.isomorphism import (
     subgraph_isomorphisms,
 )
 from igraph_spark.algorithms.paths import get_shortest_paths, girth
+from igraph_spark.algorithms.flow import maxflow, mincut, st_mincut
 from igraph_spark.algorithms.paths import (
     bfs_distances,
     shortest_paths,
@@ -108,6 +109,9 @@ __all__ = [
     "count_subisomorphisms",
     "subgraph_isomorphisms",
     "girth",
+    "maxflow",
+    "mincut",
+    "st_mincut",
     "get_shortest_paths",
     "bfs_distances",
     "shortest_paths",

@@ -1,0 +1,54 @@
+"""Maxflow / mincut (flow.c:470,1615) — the reference's own
+igraph_mincut fixture plus structural hand cases."""
+
+from igraph_spark.graph import Graph
+from igraph_spark.algorithms.flow import maxflow, mincut
+
+
+def test_reference_mincut_fixture(spark):
+    # igraph_mincut.c / .out: weighted undirected 8-vertex graph;
+    # golden: value 4, partitions {2,3,6,7}/{0,1,4,5}, cut 1-2(3), 5-6(1)
+    edges = [(0, 1), (0, 4), (1, 2), (1, 4), (1, 5), (2, 3), (2, 6),
+             (3, 6), (3, 7), (4, 5), (5, 6), (6, 7)]
+    w = [2.0, 3.0, 3.0, 2.0, 2.0, 4.0, 2.0, 2.0, 2.0, 3.0, 1.0, 3.0]
+    g = Graph.from_edge_list(spark, edges, n=8, directed=False, weights=w)
+    r = mincut(g)
+    assert r["value"] == 4.0
+    assert sorted(x.id for x in r["partition"].where("side=0").collect()) \
+        == [0, 1, 4, 5]
+    assert sorted((x.src, x.dst, x.cap) for x in r["cut"].collect()) \
+        == [(1, 2, 3.0), (5, 6, 1.0)]
+
+
+def test_unit_diamond_flow_two(spark):
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (1, 3), (2, 3)],
+                             n=4, directed=True)
+    r = maxflow(g, 0, 3)
+    assert r["value"] == 2.0
+    # flow conservation at the interior vertices
+    f = {(x.src, x.dst): x.f for x in r["flow"].collect()}
+    assert f[(0, 1)] == f[(1, 3)] and f[(0, 2)] == f[(2, 3)]
+
+
+def test_bottleneck_path(spark):
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2)], n=3, directed=True,
+                             weights=[5.0, 1.0])
+    r = maxflow(g, 0, 2)
+    assert r["value"] == 1.0
+    assert [(x.src, x.dst, x.cap) for x in r["cut"].collect()] \
+        == [(1, 2, 1.0)]
+
+
+def test_disconnected_zero_flow(spark):
+    g = Graph.from_edge_list(spark, [(0, 1), (2, 3)], n=4, directed=True)
+    r = maxflow(g, 0, 3)
+    assert r["value"] == 0.0
+    assert r["cut"].count() == 0
+
+
+def test_needs_residual_back_edge(spark):
+    # classic trap: the greedy path 0-1-2-3 must be partially undone
+    # via the residual back edge to reach flow 2
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2), (1, 3)]
+    g = Graph.from_edge_list(spark, edges, n=4, directed=True)
+    assert maxflow(g, 0, 3)["value"] == 2.0
