@@ -436,6 +436,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = triad_census(g).localCheckpoint(eager=True)
         return out
 
+    def q_motifs3(spark, sf):
+        from igraph_spark.algorithms.motifs import motifs_randesu
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            out = motifs_randesu(g, size=3).localCheckpoint(eager=True)
+        return out
+
     def q_articulation_points(spark, sf):
         from igraph_spark.algorithms.biconnected import articulation_points
         g = _graph(_art_edges(spark, sf), False)
@@ -712,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": q_shortest_paths,
         "dyad_census": q_dyad_census,
         "triad_census": q_triad_census,
+        "motifs3": q_motifs3,
         "articulation_points": q_articulation_points,
         "biconnected_sizes": q_biconnected_sizes,
         "eigenvector": q_eigenvector,
@@ -1171,6 +1179,27 @@ WITH RECURSIVE e0 AS ({_ART_E_SQL}),
 sym AS (SELECT DISTINCT src, dst FROM (
           SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
 nbr AS (SELECT src AS v, dst AS n FROM sym)"""
+
+
+def _motifs3_oracle() -> str:
+    # RAND-ESU size-3 = the triad census reordered by isoclass
+    # (motifs.c:1062-1078 inverted); disconnected isoclasses are NULL
+    from igraph_spark.algorithms.motifs import (
+        TRIAD_ORDER, _RANDESU3_FROM_CENSUS, _RANDESU3_DISCONNECTED_DIR)
+    rows = []
+    for j in range(16):
+        if j in _RANDESU3_DISCONNECTED_DIR:
+            rows.append(f"({j}, NULL)")
+        else:
+            rows.append(
+                f"({j}, '{TRIAD_ORDER[_RANDESU3_FROM_CENSUS[j]]}')")
+    values = ", ".join(rows)
+    return f"""
+WITH census AS ({_triad_census_oracle()}),
+map(isoclass, triad) AS (VALUES {values})
+SELECT CAST(map.isoclass AS BIGINT) AS isoclass,
+       CAST(c.count AS BIGINT) AS count
+FROM map LEFT JOIN census c ON c.triad = map.triad"""
 
 
 def _shortest_paths_oracle(cap: int) -> str:
@@ -1893,6 +1922,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": _betweenness_oracle(_BC_LEVELS),
         "random_walks": _random_walks_oracle(_WALK_LEN),
         "triad_census": _triad_census_oracle(),
+        "motifs3": _motifs3_oracle(),
         "shortest_paths": _shortest_paths_oracle(_BFS_CAP),
         "community_compare": _community_compare_oracle(),
         "maximal_cliques": _maximal_cliques_oracle(),

@@ -51,7 +51,7 @@ from igraph_spark.algorithms.centrality import (
     centralization_degree,
     constraint,
 )
-from igraph_spark.algorithms.motifs import triad_census
+from igraph_spark.algorithms.motifs import motifs_randesu, triad_census
 from igraph_spark.algorithms.biconnected import (
     articulation_points,
     biconnected_components,
@@ -103,6 +103,7 @@ __all__ = [
     "centralization_degree",
     "constraint",
     "triad_census",
+    "motifs_randesu",
     "articulation_points",
     "biconnected_components",
     "compare_communities",

@@ -31,6 +31,16 @@ from igraph_spark.graph import Graph, SRC, DST
 TRIAD_ORDER = ["003", "012", "102", "021D", "021U", "021C", "111D", "111U",
                "030T", "030C", "201", "120D", "120U", "120C", "210", "300"]
 
+#: randesu isoclass j -> triad-census index i, inverted from the
+#: reorder block in igraph_triad_census (motifs.c:1062-1078:
+#: res[i] = tmp[j]); classes 0, 1, 3 are the disconnected triples
+#: RAND-ESU reports as NaN
+_RANDESU3_FROM_CENSUS = {0: 0, 1: 1, 3: 2, 6: 3, 2: 4, 4: 5, 5: 6,
+                         9: 7, 7: 8, 11: 9, 10: 10, 8: 11, 13: 12,
+                         12: 13, 14: 14, 15: 15}
+_RANDESU3_DISCONNECTED_DIR = {0, 1, 3}
+_RANDESU3_DISCONNECTED_UND = {0, 1}
+
 
 def _pair_table(graph: Graph) -> DataFrame:
     """Connected unordered pairs (a < b) with direction flags
@@ -135,3 +145,40 @@ def triad_census(graph: Graph) -> DataFrame:
                      - sum(v for t, v in counts.items() if t != "003"))
     return spark.createDataFrame(
         [(t, counts[t]) for t in TRIAD_ORDER], "triad string, count long")
+
+
+def motifs_randesu(graph: Graph, size: int = 3) -> DataFrame:
+    """igraph_motifs_randesu with cut_prob = 0 (exhaustive), size 3
+    (/root/reference/src/motifs.c:121) -> DataFrame(isoclass, count),
+    count null for the disconnected isoclasses (the reference reports
+    NaN for those — fixture igraph_motifs_randesu.out).
+
+    Directed size-3 motif counts are the triad census reordered by the
+    isoclass table (the reference computes the census FROM randesu via
+    the inverse of this mapping, motifs.c:1062-1078); undirected size-3
+    isoclasses are [empty, one-edge, path, triangle] with paths =
+    connected triples minus closed ones.
+    """
+    if size != 3:
+        raise NotImplementedError(
+            "motif size 4+ sampling is out of scope; size 3 is exact")
+    spark = graph.edges.sparkSession
+    if graph.directed:
+        census = {r["triad"]: int(r["count"])
+                  for r in triad_census(graph).collect()}
+        rows = []
+        for j in range(16):
+            if j in _RANDESU3_DISCONNECTED_DIR:
+                rows.append((j, None))
+            else:
+                rows.append((j, census[TRIAD_ORDER[_RANDESU3_FROM_CENSUS[j]]]))
+        return spark.createDataFrame(rows, "isoclass long, count long")
+    from igraph_spark.algorithms.triangles import _oriented, _wedge_close
+    from pyspark.sql import functions as F2
+    oriented, deg = _oriented(graph)
+    triples = int(deg.agg(F2.sum(F2.col("deg") * (F2.col("deg") - 1) / 2))
+                  .first()[0] or 0)
+    tri = _wedge_close(oriented).count()
+    return spark.createDataFrame(
+        [(0, None), (1, None), (2, triples - 3 * tri), (3, tri)],
+        "isoclass long, count long")

@@ -39,3 +39,28 @@ def test_triad_census_empty_graph(spark):
     g = Graph.from_edge_list(spark, [], n=5, directed=True)
     vec = _census_vector(g)
     assert vec[0] == 5 * 4 * 3 // 6 and sum(vec[1:]) == 0
+
+
+def test_motifs_randesu_mutual_ring(spark):
+    # igraph_motifs_randesu.out: a mutual directed ring puts all mass
+    # on isoclass 10 (two mutual edges at a shared vertex = triad 201)
+    from igraph_spark.algorithms.motifs import motifs_randesu
+    n = 50
+    edges = [(i, (i + 1) % n) for i in range(n)] + \
+            [((i + 1) % n, i) for i in range(n)]
+    g = Graph.from_edge_list(spark, edges, n=n, directed=True)
+    hist = {r.isoclass: r["count"] for r in motifs_randesu(g).collect()}
+    assert hist[10] == n
+    assert hist[0] is None and hist[1] is None and hist[3] is None
+    assert all(v == 0 for k, v in hist.items() if k not in (0, 1, 3, 10))
+
+
+def test_motifs_randesu_bull_undirected(spark):
+    # motifs_randesu_callback fixture on the bull graph: 4 paths
+    # (class 2) + 1 triangle (class 3)
+    from igraph_spark.algorithms.motifs import motifs_randesu
+    bull = Graph.from_edge_list(
+        spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4)], n=5,
+        directed=False)
+    hist = {r.isoclass: r["count"] for r in motifs_randesu(bull).collect()}
+    assert hist == {0: None, 1: None, 2: 4, 3: 1}
