@@ -62,7 +62,18 @@ from igraph_spark.algorithms.isomorphism import (
     subgraph_isomorphisms,
 )
 from igraph_spark.algorithms.paths import get_shortest_paths, girth
-from igraph_spark.algorithms.flow import maxflow, mincut, st_mincut
+from igraph_spark.algorithms.flow import (
+    gomory_hu_tree,
+    maxflow,
+    mincut,
+    st_mincut,
+)
+from igraph_spark.layouts import (
+    layout_circle,
+    layout_fruchterman_reingold,
+    layout_grid,
+    layout_random,
+)
 from igraph_spark.algorithms.paths import (
     bfs_distances,
     shortest_paths,
@@ -113,6 +124,11 @@ __all__ = [
     "maxflow",
     "mincut",
     "st_mincut",
+    "gomory_hu_tree",
+    "layout_circle",
+    "layout_grid",
+    "layout_random",
+    "layout_fruchterman_reingold",
     "get_shortest_paths",
     "bfs_distances",
     "shortest_paths",

@@ -143,6 +143,32 @@ def st_mincut(graph: Graph, s: int, t: int,
     return maxflow(graph, s, t, weights)
 
 
+def gomory_hu_tree(graph: Graph, weights: bool | None = None) -> DataFrame:
+    """Gomory-Hu tree (igraph_gomory_hu_tree, the third member of the
+    flow.c family) via Gusfield's algorithm: n-1 s-t maxflow calls, no
+    vertex contraction -> DataFrame(src, dst, flow), a tree whose
+    min-weight edge on the u..v path equals mincut(u, v) for EVERY
+    pair.  Each maxflow is the distributed Edmonds-Karp above; the
+    O(n) outer loop is driver-side like the reference's."""
+    spark = graph.edges.sparkSession
+    ids = [int(r[0]) for r in graph.vertices.select(ID).orderBy(ID)
+           .collect()]
+    parent = [ids[0]] * len(ids)
+    fval = [0.0] * len(ids)
+    for i in range(1, len(ids)):
+        s, t = ids[i], parent[i]
+        r = maxflow(graph, s, t, weights)
+        fval[i] = r["value"]
+        s_side = {int(x.id) for x in
+                  r["partition"].where("side = 0").collect()}
+        for j in range(i + 1, len(ids)):
+            if parent[j] == t and ids[j] in s_side:
+                parent[j] = s
+    return spark.createDataFrame(
+        [(ids[i], parent[i], fval[i]) for i in range(1, len(ids))],
+        "src long, dst long, flow double")
+
+
 def mincut(graph: Graph, weights: bool | None = None) -> dict:
     """Global minimum cut (igraph_mincut, flow.c:1615) for undirected
     graphs: min over t of the s-t mincut with s fixed to the minimum

@@ -46,6 +46,36 @@ def test_disconnected_zero_flow(spark):
     assert r["cut"].count() == 0
 
 
+def test_gomory_hu_tree_pairwise_cuts(spark):
+    # barbell: two triangles joined by one bridge — within-triangle
+    # mincut 2, cross-bridge mincut 1; the GH tree must encode both
+    from igraph_spark.algorithms.flow import gomory_hu_tree
+    import collections
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    g = Graph.from_edge_list(spark, edges, n=6, directed=False)
+    tree = [(r.src, r.dst, r.flow) for r in gomory_hu_tree(g).collect()]
+    adj = collections.defaultdict(list)
+    for u, v, f in tree:
+        adj[u].append((v, f))
+        adj[v].append((u, f))
+
+    def tree_mincut(u, v):
+        seen = {u: float("inf")}
+        stack = [u]
+        while stack:
+            x = stack.pop()
+            for y, f in adj[x]:
+                if y not in seen:
+                    seen[y] = min(seen[x], f)
+                    stack.append(y)
+        return seen[v]
+
+    for u, v, expected in [(0, 1, 2.0), (3, 5, 2.0), (0, 5, 1.0),
+                           (1, 4, 1.0)]:
+        assert tree_mincut(u, v) == expected
+        assert maxflow(g, u, v)["value"] == expected
+
+
 def test_needs_residual_back_edge(spark):
     # classic trap: the greedy path 0-1-2-3 must be partially undone
     # via the residual back edge to reach flow 2
