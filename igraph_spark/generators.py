@@ -10,7 +10,7 @@ any partitioning/parallelism (no RNG state, unlike igraph's MT19937).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import SparkSession, functions as F
 
 from igraph_spark.graph import Graph
 

@@ -20,7 +20,6 @@ tests/test_csr_kernel.py); ``pagerank(kernel="csr")`` switches.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
