@@ -1,10 +1,13 @@
 """Graph file readers/writers (SURVEY.md §2.1).
 
 The reference's flex/bison readers (/root/reference/src/foreign.c)
-become declarative reads: edge-list and NCOL map to ``spark.read.csv``
-+ a vertex-name dictionary; writers are ``df.write``.  Formats outside
-the engine's scope (Pajek/GML/GraphML/...) raise NotImplementedError
-with a pointer, mirroring the survey's scoping decision.
+become declarative reads: edge-list, NCOL and DIMACS map to
+``spark.read.csv`` + a vertex-name dictionary; the single-document
+formats (GraphML/GML/Pajek/LGL/DL) are one wholetext row exploded with
+Catalyst regex — no per-row Python anywhere.  Writers for splittable
+formats are ``df.write``; single-document writers stream through
+``toLocalIterator`` (constant driver memory, same sequential file IO
+as the reference's writers).
 
 Name→id dictionaries: igraph's NCOL reader interns names in first-seen
 order through a trie (/root/reference/src/foreign.c:193 +
@@ -255,6 +258,377 @@ def write_gml(graph: Graph, names: DataFrame | None, path: str) -> None:
         fh.write("]\n")
 
 
+def _doc(spark: SparkSession, path: str):
+    """Whole-file single-document scan (shared by the legacy
+    single-document formats: GML, Pajek, LGL, DL)."""
+    return spark.read.text(path, wholetext=True).select(
+        F.col("value").alias("doc"))
+
+
+def read_pajek(spark: SparkSession, path: str
+               ) -> tuple[Graph, DataFrame]:
+    """igraph_read_graph_pajek analog
+    (/root/reference/src/foreign.c:478 + foreign-pajek-parser.y) ->
+    (graph, names).
+
+    Sections handled: ``*Vertices`` (1-based ids + optional quoted
+    labels), ``*Arcs`` (directed), ``*Edges`` (undirected), ``*Matrix``
+    (full adjacency, signed weights kept), ``*Arcslist`` /
+    ``*Edgeslist`` (adjacency lists).  The graph is directed iff an
+    arcs/arcslist/matrix section appears (Pajek's own convention —
+    matrices are row->column).  Pajek ids are 1-based; we keep igraph's
+    0-based dense ids (= pajek_id - 1, padded to the *Vertices count so
+    isolated trailing vertices survive).  Layout/visual tokens after
+    the label are ignored, like the reference parser.
+
+    Parsing is two Catalyst passes over one wholetext row (split on
+    section markers, explode, regex per line) — same plan shape as
+    read_gml; the format is inherently one document, so a single-row
+    scan is the honest distribution story (the 10^12-file corpus
+    arrives as parquet, not .net).
+    """
+    txt = _doc(spark, path)
+    # sections: split the doc at line-leading '*'; first line of each
+    # piece is the header.
+    secs = (txt.select(F.posexplode(F.split("doc", r"(?m)^\*"))
+                       .alias("pos", "sec"))
+            .where(F.col("sec") != "")
+            .select("pos",
+                    F.lower(F.regexp_extract("sec", r"^(\w+)", 1))
+                    .alias("kind"),
+                    F.regexp_extract("sec", r"^\w+\s+(\d+)", 1)
+                    .alias("count"),
+                    F.slice(F.split("sec", r"\r?\n"), 2, 2 ** 30)
+                    .alias("lines")))
+    secs = secs.persist()
+    kinds = {r["kind"] for r in secs.select("kind").distinct().collect()}
+    directed = bool(kinds & {"arcs", "arcslist", "matrix"})
+
+    lines = (secs.select("kind", "count",
+                         F.posexplode("lines").alias("ln", "line"))
+             .select("kind", "count", "ln",
+                     F.trim(F.regexp_replace("line", r"%.*$", ""))
+                     .alias("line"))
+             .where(F.col("line") != ""))
+    lines = lines.persist()
+
+    nv_row = secs.where(F.col("kind") == "vertices") \
+        .select(F.col("count").cast("long")).first()
+    n_vertices = int(nv_row[0]) if nv_row and nv_row[0] is not None else 0
+
+    vlines = lines.where(F.col("kind") == "vertices").select(
+        F.regexp_extract("line", r"^(\d+)", 1).cast("long").alias("pid"),
+        F.regexp_extract("line", r'^\d+\s+"([^"]*)"', 1).alias("label"))
+    names = (vlines
+             .select((F.col("pid") - 1).alias("id"),
+                     F.when(F.col("label") == "",
+                            (F.col("pid") - 1).cast("string"))
+                     .otherwise(F.col("label")).alias("name")))
+    if n_vertices:
+        allv = spark.range(n_vertices).select(F.col("id"))
+        names = (allv.join(names, "id", "left")
+                 .select("id", F.coalesce("name", F.col("id").cast("string"))
+                         .alias("name")))
+
+    def pair_lines(kind: str) -> DataFrame:
+        toks = lines.where(F.col("kind") == kind).select(
+            F.split("line", r"\s+").alias("t"))
+        return toks.select(
+            (F.element_at("t", 1).cast("long") - 1).alias("src"),
+            (F.element_at("t", 2).cast("long") - 1).alias("dst"),
+            F.try_element_at("t", F.lit(3)).cast("double")
+            .alias("weight"))
+
+    def list_lines(kind: str) -> DataFrame:
+        toks = lines.where(F.col("kind") == kind).select(
+            F.split("line", r"\s+").alias("t"))
+        return toks.select(
+            (F.element_at("t", 1).cast("long") - 1).alias("src"),
+            F.explode(F.slice("t", 2, 2 ** 30)).alias("d")) \
+            .select("src", (F.col("d").cast("long") - 1).alias("dst"),
+                    F.lit(None).cast("double").alias("weight"))
+
+    arcs = pair_lines("arcs").unionByName(list_lines("arcslist"))
+    edges = pair_lines("edges").unionByName(list_lines("edgeslist"))
+    if directed:
+        # undirected *Edges lines inside a directed file -> both arcs
+        # (the reference materializes them as two directed edges)
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst"), "weight"))
+    mat = (lines.where(F.col("kind") == "matrix")
+           .select("ln", F.posexplode(F.split("line", r"\s+"))
+                   .alias("col", "v"))
+           .select(F.col("ln").cast("long").alias("src"),
+                   F.col("col").cast("long").alias("dst"),
+                   F.col("v").cast("double").alias("weight"))
+           .where(F.col("weight") != 0.0))
+    e = arcs.unionByName(edges).unionByName(mat) \
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if e.where(F.col("weight").isNotNull()).isEmpty():
+        e = e.select("src", "dst")
+    else:
+        e = e.select("src", "dst",
+                     F.coalesce("weight", F.lit(1.0)).alias("weight"))
+    secs.unpersist()
+    lines.unpersist()
+    return Graph(e, names.select("id"), directed=directed), names
+
+
+def write_pajek(graph: Graph, names: DataFrame | None, path: str) -> None:
+    """igraph_write_graph_pajek analog (foreign.c writer): streamed
+    single-document writer (constant driver memory, like write_gml)."""
+    has_w = graph.has_weights
+    if names is None:
+        names = graph.vertices.select(
+            F.col("id"), F.col("id").cast("string").alias("name"))
+    n = names.count()
+    e = graph.weighted_edges() if has_w else graph.edges.select("src", "dst")
+    with open(path, "w") as fh:
+        fh.write(f"*Vertices {n}\n")
+        for r in names.orderBy("id").toLocalIterator():
+            fh.write(f'{r["id"] + 1} "{r["name"]}"\n')
+        fh.write("*Arcs\n" if graph.directed else "*Edges\n")
+        for r in e.toLocalIterator():
+            if has_w:
+                fh.write(f'{r["src"] + 1} {r["dst"] + 1} {r["weight"]!r}\n')
+            else:
+                fh.write(f'{r["src"] + 1} {r["dst"] + 1}\n')
+
+
+def read_lgl(spark: SparkSession, path: str, directed: bool = False
+             ) -> tuple[Graph, DataFrame]:
+    """igraph_read_graph_lgl analog (foreign.c:358): ``# source`` lines
+    introduce a vertex, following lines are its neighbours with an
+    optional weight.  Returns (graph, names); names use the sorted-rank
+    dictionary policy (module docstring)."""
+    txt = _doc(spark, path)
+    blocks = (txt.select(F.explode(F.split("doc", r"(?m)^#")).alias("blk"))
+              .where(F.trim("blk") != "")
+              .select(F.split(F.trim("blk"), r"\r?\n").alias("ls"))
+              .select(F.trim(F.element_at("ls", 1)).alias("a"),
+                      F.slice("ls", 2, 2 ** 30).alias("rest")))
+    pairs = (blocks.select("a", F.explode("rest").alias("line"))
+             .select("a", F.split(F.trim("line"), r"\s+").alias("t"))
+             .where(F.element_at("t", 1) != "")
+             .select("a", F.element_at("t", 1).alias("b"),
+                     F.try_element_at("t", F.lit(2)).cast("double")
+                     .alias("weight")))
+    has_w = not pairs.where(F.col("weight").isNotNull()).isEmpty()
+    verts = (blocks.select(F.col("a").alias("name"))
+             .unionByName(pairs.select(F.col("b").alias("name")))
+             .where(F.col("name") != "").distinct())
+    names = verts.select(
+        (F.dense_rank().over(Window.orderBy("name")) - 1)
+        .cast("long").alias("id"), "name")
+    e = (pairs
+         .join(names.select(F.col("name").alias("a"),
+                            F.col("id").alias("src")), "a")
+         .join(names.select(F.col("name").alias("b"),
+                            F.col("id").alias("dst")), "b"))
+    e = e.select("src", "dst", *(["weight"] if has_w else []))
+    if has_w:
+        e = e.withColumn("weight", F.coalesce("weight", F.lit(1.0)))
+    return Graph(e, names.select("id"), directed=directed), names
+
+
+def write_lgl(graph: Graph, names: DataFrame | None, path: str,
+              isolates: bool = True) -> None:
+    """igraph_write_graph_lgl analog (foreign.c:1553)."""
+    has_w = graph.has_weights
+    if names is None:
+        names = graph.vertices.select(
+            F.col("id"), F.col("id").cast("string").alias("name"))
+    e = graph.weighted_edges() if has_w else graph.edges.select("src", "dst")
+    e = (e.join(names.select(F.col("id").alias("src"),
+                             F.col("name").alias("a")), "src")
+         .join(names.select(F.col("id").alias("dst"),
+                            F.col("name").alias("b")), "dst"))
+    grouped = (e.groupBy("a").agg(F.collect_list(
+        F.struct("b", *(["weight"] if has_w else []))).alias("nbrs")))
+    written = set()
+    with open(path, "w") as fh:
+        for r in grouped.orderBy("a").toLocalIterator():
+            fh.write(f'# {r["a"]}\n')
+            written.add(r["a"])
+            for nb in r["nbrs"]:
+                if has_w:
+                    fh.write(f'{nb["b"]} {nb["weight"]!r}\n')
+                else:
+                    fh.write(f'{nb["b"]}\n')
+        if isolates:
+            for r in names.orderBy("name").toLocalIterator():
+                if r["name"] not in written:
+                    fh.write(f'# {r["name"]}\n')
+
+
+def read_dimacs(spark: SparkSession, path: str, directed: bool = True):
+    """igraph_read_graph_dimacs analog (foreign.c:823): the DIMACS
+    max-flow (``p max``) and edge (``p edge``) formats.
+
+    Returns (graph, source, target) — source/target are vertex ids for
+    the ``max`` problem (None for ``edge``); arc capacities become the
+    ``weight`` column.  Unlike the other legacy formats this one is
+    line-oriented and order-free, so the scan is a plain distributed
+    CSV read — the only legacy format that stays splittable at scale.
+    """
+    raw = (spark.read.schema("line string").option("sep", "\x01")
+           .csv(path)
+           .select(F.trim("line").alias("line"))
+           .where((F.col("line") != "") & ~F.col("line").startswith("c")))
+    raw = raw.persist()
+    prob = raw.where(F.col("line").startswith("p")).select(
+        F.regexp_extract("line", r"^p\s+(\w+)", 1).alias("kind")).first()
+    kind = prob["kind"] if prob else "edge"
+    src_t, tgt_t = None, None
+    if kind == "max":
+        nodes = raw.where(F.col("line").rlike(r"^n\s")).select(
+            (F.regexp_extract("line", r"^n\s+(\d+)", 1).cast("long") - 1)
+            .alias("id"),
+            F.regexp_extract("line", r"^n\s+\d+\s+(\w)", 1).alias("role"))
+        for r in nodes.collect():
+            if r["role"] == "s":
+                src_t = int(r["id"])
+            elif r["role"] == "t":
+                tgt_t = int(r["id"])
+        e = raw.where(F.col("line").rlike(r"^a\s")).select(
+            (F.regexp_extract("line", r"^a\s+(\d+)", 1).cast("long") - 1)
+            .alias("src"),
+            (F.regexp_extract("line", r"^a\s+\d+\s+(\d+)", 1)
+             .cast("long") - 1).alias("dst"),
+            F.regexp_extract("line", r"^a\s+\d+\s+\d+\s+([-0-9.eE]+)", 1)
+            .cast("double").alias("weight"))
+    else:
+        e = raw.where(F.col("line").rlike(r"^[ae]\s")).select(
+            (F.regexp_extract("line", r"^[ae]\s+(\d+)", 1).cast("long") - 1)
+            .alias("src"),
+            (F.regexp_extract("line", r"^[ae]\s+\d+\s+(\d+)", 1)
+             .cast("long") - 1).alias("dst"))
+    nv_row = raw.where(F.col("line").startswith("p")).select(
+        F.regexp_extract("line", r"^p\s+\w+\s+(\d+)", 1).cast("long")).first()
+    raw.unpersist()
+    verts = spark.range(int(nv_row[0])).select("id") if nv_row and \
+        nv_row[0] is not None else None
+    return Graph(e, verts, directed=directed), src_t, tgt_t
+
+
+def write_dimacs(graph: Graph, path: str, source: int = 0,
+                 target: int = 1) -> None:
+    """igraph_write_graph_dimacs analog (foreign.c:1694): max-flow
+    format; the weight column (default 1) becomes arc capacity."""
+    n = graph.vcount()
+    m = graph.ecount()
+    e = graph.weighted_edges()
+    with open(path, "w") as fh:
+        fh.write(f"p max {n} {m}\n")
+        fh.write(f"n {source + 1} s\n")
+        fh.write(f"n {target + 1} t\n")
+        for r in e.toLocalIterator():
+            w = r["weight"]
+            cap = int(w) if float(w).is_integer() else w
+            fh.write(f'a {r["src"] + 1} {r["dst"] + 1} {cap}\n')
+
+
+def read_dl(spark: SparkSession, path: str, directed: bool = True
+            ) -> tuple[Graph, DataFrame]:
+    """igraph_read_graph_dl analog (foreign-dl-parser.y): UCINET DL —
+    ``fullmatrix`` (default), ``edgelist1`` and ``nodelist1`` formats,
+    with optional ``labels:`` (comma-separated, possibly multi-line)
+    and ``labels embedded``.  Returns (graph, names); ids are 0-based
+    row order (matrix) / 1-based data ids minus one (lists), matching
+    the reference's output ids (igraph_read_graph_dl.out)."""
+    txt = _doc(spark, path)
+    hdr = txt.select(
+        F.regexp_extract(F.lower("doc"), r"n\s*=\s*(\d+)", 1)
+        .cast("long").alias("n"),
+        F.regexp_extract(F.lower("doc"), r"format\s*=\s*(\w+)", 1)
+        .alias("fmt"),
+        F.regexp_extract(
+            "doc", r"(?is)labels:\s*\n(.*?)(?=\n\s*(?:data|format|labels)\b)",
+            1).alias("labels_blk"),
+        (F.lower("doc").rlike(r"labels\s+embedded")).alias("embedded"),
+        F.regexp_extract("doc", r"(?is)data:\s*\n(.*)$", 1).alias("data")
+    ).first()
+    n = int(hdr["n"]) if hdr["n"] is not None else 0
+    fmt = hdr["fmt"] or "fullmatrix"
+    label_list = [s.strip() for chunk in hdr["labels_blk"].split("\n")
+                  for s in chunk.split(",") if s.strip()]
+
+    data_lines = (spark.createDataFrame(
+        [(i, ln.strip()) for i, ln in enumerate(hdr["data"].split("\n"))
+         if ln.strip()], "ln long, line string"))
+
+    if label_list:
+        names = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(label_list)], "id long, name string")
+    else:
+        names = spark.range(n).select(
+            "id", F.col("id").cast("string").alias("name"))
+
+    if fmt == "fullmatrix":
+        cells = (data_lines
+                 .select((F.dense_rank().over(Window.orderBy("ln")) - 1)
+                         .cast("long").alias("src"),
+                         F.posexplode(F.split("line", r"\s+"))
+                         .alias("dst", "v"))
+                 .select("src", F.col("dst").cast("long").alias("dst"),
+                         F.col("v").cast("double").alias("w"))
+                 .where(F.col("w") != 0.0))
+        if cells.where(F.col("w") != 1.0).isEmpty():
+            e = cells.select("src", "dst")
+        else:
+            e = cells.select("src", "dst", F.col("w").alias("weight"))
+    else:
+        toks = data_lines.select(F.split("line", r"\s+").alias("t"))
+        if fmt == "edgelist1":
+            pairs = toks.select(F.element_at("t", 1).alias("a"),
+                                F.element_at("t", 2).alias("b"),
+                                F.try_element_at("t", F.lit(3)).cast("double")
+                                .alias("weight"))
+        elif fmt == "nodelist1":
+            pairs = toks.select(
+                F.element_at("t", 1).alias("a"),
+                F.explode(F.slice("t", 2, 2 ** 30)).alias("b"),
+                F.lit(None).cast("double").alias("weight"))
+        else:
+            raise NotImplementedError(f"DL format {fmt!r}")
+        if hdr["embedded"]:
+            e = (pairs
+                 .join(names.select(F.col("name").alias("a"),
+                                    F.col("id").alias("src")), "a")
+                 .join(names.select(F.col("name").alias("b"),
+                                    F.col("id").alias("dst")), "b"))
+        else:
+            e = pairs.select((F.col("a").cast("long") - 1).alias("src"),
+                             (F.col("b").cast("long") - 1).alias("dst"),
+                             "weight")
+        if e.where(F.col("weight").isNotNull()).isEmpty():
+            e = e.select("src", "dst")
+        else:
+            e = e.select("src", "dst",
+                         F.coalesce("weight", F.lit(1.0)).alias("weight"))
+    verts = spark.range(n).select("id") if n else names.select("id")
+    return Graph(e, verts, directed=directed), names
+
+
+def write_dot(graph: Graph, names: DataFrame | None, path: str) -> None:
+    """igraph_write_graph_dot analog (foreign.c:2111): GraphViz dot."""
+    has_w = graph.has_weights
+    if names is None:
+        names = graph.vertices.select(
+            F.col("id"), F.col("id").cast("string").alias("name"))
+    e = graph.weighted_edges() if has_w else graph.edges.select("src", "dst")
+    arrow = "->" if graph.directed else "--"
+    with open(path, "w") as fh:
+        fh.write(("digraph" if graph.directed else "graph") + " G {\n")
+        for r in names.orderBy("id").toLocalIterator():
+            fh.write(f'  {r["id"]} [label="{r["name"]}"];\n')
+        for r in e.toLocalIterator():
+            attr = f' [weight={r["weight"]!r}]' if has_w else ""
+            fh.write(f'  {r["src"]} {arrow} {r["dst"]}{attr};\n')
+        fh.write("}\n")
+
+
 def read_graph(spark: SparkSession, path: str, fmt: str, **kw):
     """Dispatcher mirroring igraph's per-format readers; unsupported
     legacy formats are explicit non-goals (SURVEY.md §2.1)."""
@@ -266,9 +640,16 @@ def read_graph(spark: SparkSession, path: str, fmt: str, **kw):
         return read_graphml(spark, path, **kw)
     if fmt == "gml":
         return read_gml(spark, path, **kw)
-    if fmt in ("pajek", "dl", "lgl", "dimacs", "graphdb"):
+    if fmt == "pajek":
+        return read_pajek(spark, path, **kw)
+    if fmt == "lgl":
+        return read_lgl(spark, path, **kw)
+    if fmt == "dimacs":
+        return read_dimacs(spark, path, **kw)
+    if fmt == "dl":
+        return read_dl(spark, path, **kw)
+    if fmt == "graphdb":
         raise NotImplementedError(
-            f"{fmt}: legacy single-file format, out of v1 scope "
-            "(SURVEY.md §2.1); convert to edgelist/ncol/parquet/"
-            "graphml/gml")
+            "graphdb: binary benchmark-suite format, out of scope "
+            "(SURVEY.md §2.1); convert to edgelist/ncol/parquet")
     raise ValueError(f"unknown format {fmt!r}")
