@@ -329,3 +329,248 @@ def disjoint_graphs(spark: SparkSession, graphs: list[Graph]) -> Graph:
     for h in graphs[1:]:
         g = disjoint_union(g, h)
     return g
+
+
+def degree_sequence_game(spark: SparkSession, out_deg, in_deg=None,
+                         seed: int = 42, method: str = "configuration",
+                         max_repair_rounds: int = 30) -> Graph:
+    """igraph_degree_sequence_game analog (/root/reference/src/games.c
+    degree-sequence methods): generate a graph with EXACTLY the given
+    degree sequence.
+
+    ``method='configuration'``: the stub-pairing configuration model —
+    each vertex contributes ``deg`` stubs, stubs get a seeded-hash
+    draw, the globally ranked stub list is paired (2i, 2i+1)
+    (undirected) or out-rank i ↔ in-rank i (directed).  Loops and
+    multi-edges may appear, like igraph's IGRAPH_DEGSEQ_CONFIGURATION.
+
+    ``method='simple'`` (undirected only): configuration pairing, then
+    deterministic degree-preserving double-edge-swap repair rounds that
+    eliminate loops/multi-edges (igraph's FAST_HEUR_SIMPLE analog) —
+    the degree sequence stays exact; raises if the repair does not
+    converge (sequence near-non-graphical).
+
+    The global stub ranking is a distributed sort + per-partition
+    offset index (``zipWithIndex``) — one O(m log m) range-partitioned
+    pass, the same shuffle budget as any keyed exchange, so the
+    construction holds at 10^9 stubs.
+    """
+    if isinstance(out_deg, (list, tuple)):
+        out_df = spark.createDataFrame(
+            [(i, int(d)) for i, d in enumerate(out_deg)],
+            "id long, deg long")
+    else:
+        out_df = out_deg.select("id", F.col("deg").cast("long"))
+    directed = in_deg is not None
+
+    def _ranked_stubs(deg_df, salt: int):
+        stubs = (deg_df.where(F.col("deg") > 0)
+                 .select("id", F.explode(F.sequence(
+                     F.lit(0), (F.col("deg") - 1).cast("int"))).alias("k"))
+                 .select("id", F.xxhash64(F.lit(seed), F.lit(salt),
+                                          "id", "k").alias("h")))
+        return (stubs.orderBy("h", "id").rdd.zipWithIndex()
+                .map(lambda t: (t[0]["id"], t[1]))
+                .toDF("id long, r long"))
+
+    if directed:
+        if isinstance(in_deg, (list, tuple)):
+            in_df = spark.createDataFrame(
+                [(i, int(d)) for i, d in enumerate(in_deg)],
+                "id long, deg long")
+        else:
+            in_df = in_deg.select("id", F.col("deg").cast("long"))
+        n_out = out_df.agg(F.sum("deg")).first()[0] or 0
+        n_in = in_df.agg(F.sum("deg")).first()[0] or 0
+        if n_out != n_in:
+            raise ValueError("sum(out_deg) != sum(in_deg)")
+        e = (_ranked_stubs(out_df, 0).withColumnRenamed("id", "src")
+             .join(_ranked_stubs(in_df, 1).withColumnRenamed("id", "dst"),
+                   "r").select("src", "dst"))
+        verts = out_df.select("id").unionByName(
+            in_df.select("id")).distinct()
+        return Graph(e, verts, directed=True)
+
+    total = out_df.agg(F.sum("deg")).first()[0] or 0
+    if total % 2:
+        raise ValueError("sum(degrees) must be even")
+    ranked = _ranked_stubs(out_df, 0)
+    half = ranked.select("id", (F.col("r") / 2).cast("long").alias("p"),
+                         (F.col("r") % 2).alias("side"))
+    e = (half.where(F.col("side") == 0).select(F.col("id").alias("src"), "p")
+         .join(half.where(F.col("side") == 1)
+               .select(F.col("id").alias("dst"), "p"), "p")
+         .select("src", "dst"))
+    verts = out_df.select("id")
+    if method == "configuration":
+        return Graph(e, verts, directed=False)
+    if method != "simple":
+        raise ValueError(f"unknown method {method!r}")
+
+    # simple: repair loops/multi-edges by deterministic double swaps.
+    # Each round: canonicalize, mark bad rows (loops + duplicate-rank
+    # >0 copies), pair every bad row with a partner edge in a seeded
+    # hash bucket, swap endpoints (u1,v1),(u2,v2) -> (u1,v2),(u2,v1).
+    # Degrees are invariant under the swap; bad-row count shrinks
+    # geometrically (verified by the convergence check below).
+    from pyspark.sql import Window
+    cur = e
+    for rnd in range(max_repair_rounds):
+        c = cur.select(F.least("src", "dst").alias("src"),
+                       F.greatest("src", "dst").alias("dst"))
+        w = Window.partitionBy("src", "dst").orderBy(F.lit(1))
+        marked = c.select(
+            "src", "dst",
+            ((F.row_number().over(w) > 1) | (F.col("src") == F.col("dst")))
+            .alias("bad")).persist()
+        n_bad = marked.where("bad").count()
+        if n_bad == 0:
+            marked.unpersist()
+            return Graph(c, verts, directed=False)
+        nb = max(1, n_bad)
+        bucketed = marked.select(
+            "src", "dst", "bad",
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(rnd + 1), "src", "dst"),
+                   F.lit(2 * nb)).alias("b"),
+            F.xxhash64(F.lit(seed), F.lit(-rnd - 1), "src", "dst")
+            .alias("h"))
+        bw = Window.partitionBy("b").orderBy(
+            F.col("bad").desc(), "h", "src", "dst")
+        ranked2 = bucketed.select(
+            "src", "dst", "bad", "b", F.row_number().over(bw).alias("rk"))
+        pairs = ranked2.where(F.col("rk") <= 2)
+        rest = ranked2.where(F.col("rk") > 2).select("src", "dst")
+        first = pairs.where(F.col("rk") == 1).select(
+            "b", F.col("src").alias("u1"), F.col("dst").alias("v1"),
+            F.col("bad").alias("bad1"))
+        second = pairs.where(F.col("rk") == 2).select(
+            "b", F.col("src").alias("u2"), F.col("dst").alias("v2"))
+        joined = first.join(second, "b", "left")
+        swapped = joined.select(
+            F.when(F.col("bad1") & F.col("u2").isNotNull(),
+                   F.struct(F.col("u1").alias("src"),
+                            F.col("v2").alias("dst")))
+            .otherwise(F.struct(F.col("u1").alias("src"),
+                                F.col("v1").alias("dst"))).alias("e1"),
+            F.when(F.col("bad1") & F.col("u2").isNotNull(),
+                   F.struct(F.col("u2").alias("src"),
+                            F.col("v1").alias("dst")))
+            .otherwise(F.struct(F.col("u2").alias("src"),
+                                F.col("v2").alias("dst"))).alias("e2"))
+        cur = (swapped.select(F.col("e1.src").alias("src"),
+                              F.col("e1.dst").alias("dst"))
+               .unionByName(
+                   swapped.where(F.col("e2.src").isNotNull())
+                   .select(F.col("e2.src").alias("src"),
+                           F.col("e2.dst").alias("dst")))
+               .unionByName(rest))
+        cur = cur.localCheckpoint()
+        marked.unpersist()
+    raise RuntimeError(
+        f"degree_sequence_game(method='simple') did not reach a simple "
+        f"graph in {max_repair_rounds} repair rounds")
+
+
+def rewire(graph: Graph, n_rounds: int = 10, seed: int = 42) -> Graph:
+    """igraph_rewire analog (/root/reference/src/games.c rewiring):
+    degree-preserving randomization by double edge swaps, keeping the
+    graph simple.
+
+    Each round pairs edges inside seeded hash buckets (keyed window —
+    no global sort) and swaps endpoints (u1,v1),(u2,v2) ->
+    (u1,v2),(u2,v1).  A swap is rejected when it would create a loop,
+    a duplicate inside the pair, an edge already present (anti-check
+    against the distinct current edge set), or the same new edge as a
+    swap in another bucket this round (cross-bucket collision
+    aggregation) — so the graph stays simple and the degree sequence
+    exact by construction.  Deterministic at any parallelism; every
+    round is O(m) keyed shuffle, like one BSP superstep.
+    """
+    from pyspark.sql import Window
+    directed = graph.directed
+    cur = graph.edges.select("src", "dst")
+    m = cur.count()
+    if m < 2:
+        return graph
+    nb = max(1, m // 2)
+
+    def canon(df, a="src", b="dst"):
+        if directed:
+            return df.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        return df.select(F.least(a, b).alias("src"),
+                         F.greatest(a, b).alias("dst"))
+
+    for rnd in range(n_rounds):
+        bucketed = cur.select(
+            "src", "dst",
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(rnd), "src", "dst"),
+                   F.lit(nb)).alias("b"),
+            F.xxhash64(F.lit(seed), F.lit(-rnd - 1), "src", "dst")
+            .alias("h"))
+        w = Window.partitionBy("b").orderBy("h", "src", "dst")
+        r = bucketed.select("src", "dst", "b",
+                            F.row_number().over(w).alias("rk"))
+        rest = r.where(F.col("rk") > 2).select("src", "dst")
+        first = r.where(F.col("rk") == 1).select(
+            "b", F.col("src").alias("u1"), F.col("dst").alias("v1"))
+        second = r.where(F.col("rk") == 2).select(
+            "b", F.col("src").alias("u2"), F.col("dst").alias("v2"))
+        j = first.join(second, "b", "left").persist()
+        lone = (j.where(F.col("u2").isNull())
+                .select(F.col("u1").alias("src"), F.col("v1").alias("dst")))
+        # candidate new endpoints, canonicalized inline
+        ns1 = (F.least("u1", "v2") if not directed else F.col("u1"))
+        nd1 = (F.greatest("u1", "v2") if not directed else F.col("v2"))
+        ns2 = (F.least("u2", "v1") if not directed else F.col("u2"))
+        nd2 = (F.greatest("u2", "v1") if not directed else F.col("v1"))
+        cand = j.where(F.col("u2").isNotNull()).select(
+            "b", "u1", "v1", "u2", "v2",
+            ns1.alias("ns1"), nd1.alias("nd1"),
+            ns2.alias("ns2"), nd2.alias("nd2"))
+        bad = (
+            (F.col("ns1") == F.col("nd1")) | (F.col("ns2") == F.col("nd2"))
+            | ((F.col("ns1") == F.col("ns2"))
+               & (F.col("nd1") == F.col("nd2"))))
+        ex = canon(cur).distinct()
+        ex1 = ex.select(F.col("src").alias("ns1"), F.col("dst").alias("nd1"),
+                        F.lit(True).alias("x1"))
+        ex2 = ex.select(F.col("src").alias("ns2"), F.col("dst").alias("nd2"),
+                        F.lit(True).alias("x2"))
+        cand = (cand.join(ex1, ["ns1", "nd1"], "left")
+                .join(ex2, ["ns2", "nd2"], "left")
+                .withColumn("reject", bad | F.col("x1").isNotNull()
+                            | F.col("x2").isNotNull())
+                .persist())
+        # cross-bucket collisions: two accepted swaps proposing the
+        # same new edge would create a multi-edge — reject those
+        # buckets too (keep none: deterministic and degree-safe).
+        acc = cand.where(~F.col("reject"))
+        newe = (acc.select("b", F.col("ns1").alias("s"),
+                           F.col("nd1").alias("d"))
+                .unionByName(acc.select("b", F.col("ns2").alias("s"),
+                                        F.col("nd2").alias("d"))))
+        dup_edges = (newe.groupBy("s", "d").count().where("count > 1")
+                     .select("s", "d"))
+        dup_buckets = (newe.join(dup_edges, ["s", "d"], "left_semi")
+                       .select("b").distinct()
+                       .withColumn("coll", F.lit(True)))
+        cand2 = (cand.join(dup_buckets, "b", "left")
+                 .withColumn("rej", F.col("reject")
+                             | F.col("coll").isNotNull()))
+        swapped = cand2.select(
+            F.when(F.col("rej"), F.struct(F.col("u1").alias("src"),
+                                          F.col("v1").alias("dst")))
+            .otherwise(F.struct(F.col("ns1").alias("src"),
+                                F.col("nd1").alias("dst"))).alias("e1"),
+            F.when(F.col("rej"), F.struct(F.col("u2").alias("src"),
+                                          F.col("v2").alias("dst")))
+            .otherwise(F.struct(F.col("ns2").alias("src"),
+                                F.col("nd2").alias("dst"))).alias("e2"))
+        cur = (swapped.select("e1.src", "e1.dst")
+               .unionByName(swapped.select(F.col("e2.src").alias("src"),
+                                           F.col("e2.dst").alias("dst")))
+               .unionByName(rest).unionByName(lone)
+               .localCheckpoint())
+        j.unpersist()
+        cand.unpersist()
+    return Graph(cur, graph.vertices, directed=directed)
