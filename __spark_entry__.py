@@ -443,6 +443,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = motifs_randesu(g, size=3).localCheckpoint(eager=True)
         return out
 
+    def q_motifs4(spark, sf):
+        # induced connected 4-subgraph census (connected classes only —
+        # the disconnected isoclasses are NaN rows in the reference and
+        # carry no information) over the mod-1499 order x part graph
+        from igraph_spark.algorithms.motifs import motifs4_undirected
+        l = _t(spark, sf, "lineitem").select(
+            (F.col("l_orderkey") % 1499).alias("src"),
+            (F.col("l_partkey") % 1499).alias("dst"))
+        e = (l.where(F.col("src") != F.col("dst"))
+             .select(F.least("src", "dst").alias("src"),
+                     F.greatest("src", "dst").alias("dst")).distinct())
+        g = _graph(e, False)
+        with _lean_conf(spark):
+            out = (motifs4_undirected(g)
+                   .where(F.col("count").isNotNull())
+                   .select("isoclass", F.col("count").cast("long")
+                           .alias("count"))
+                   .localCheckpoint(eager=True))
+        return out
+
     def q_articulation_points(spark, sf):
         from igraph_spark.algorithms.biconnected import articulation_points
         g = _graph(_art_edges(spark, sf), False)
@@ -720,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyad_census": q_dyad_census,
         "triad_census": q_triad_census,
         "motifs3": q_motifs3,
+        "motifs4": q_motifs4,
         "articulation_points": q_articulation_points,
         "biconnected_sizes": q_biconnected_sizes,
         "eigenvector": q_eigenvector,
@@ -786,6 +807,35 @@ s{k} AS MATERIALIZED (
     sql += f"""
 SELECT id, round(pr / (SELECT sum(pr) FROM {prev}), 8) AS pagerank
 FROM {prev}"""
+    return sql
+
+
+def _kcore_oracle(iters: int) -> str:
+    """Coreness via the h-index fixpoint (Lü et al., Nature Comm. 2016):
+    h0 = degree, h_{t+1}(v) = H-index of neighbours' h_t; the sequence
+    decreases monotonically to coreness.  Unlike the peel loop (whose
+    wave count is data-dependent), extra rounds past convergence are
+    exact no-ops, so a fixed generous unroll is faithful: 12 rounds
+    (measured convergence at sf0.001 and sf0.01 is <= 4; a non-converged
+    unroll would fail the value-hash compare loudly, not silently).
+    H-index in SQL: order neighbour values desc, h = max(least(rank,
+    value))."""
+    sql = f"""
+WITH e AS MATERIALIZED ({_SUPPLIER_E_SQL}),
+inc AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+h0 AS MATERIALIZED (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS h FROM inc GROUP BY 1)"""
+    prev = "h0"
+    for k in range(1, iters + 1):
+        sql += f""",
+h{k} AS MATERIALIZED (
+  SELECT t.id, CAST(max(least(t.rn, t.hv)) AS BIGINT) AS h
+  FROM (SELECT i.src AS id, p.h AS hv,
+               row_number() OVER (PARTITION BY i.src ORDER BY p.h DESC) AS rn
+        FROM inc i JOIN {prev} p ON p.id = i.dst) t
+  GROUP BY t.id)"""
+        prev = f"h{k}"
+    sql += f"\nSELECT id, h AS coreness FROM {prev}"
     return sql
 
 
@@ -1172,6 +1222,73 @@ SELECT b.triad,
          ELSE coalesce((SELECT c FROM agg2 WHERE agg2.triad = b.triad), 0)
        END AS BIGINT) AS count
 FROM base b"""
+
+
+_MOTIF4_E_SQL = """
+  SELECT DISTINCT least(l_orderkey % 1499, l_partkey % 1499) AS u,
+                  greatest(l_orderkey % 1499, l_partkey % 1499) AS v
+  FROM lineitem WHERE (l_orderkey % 1499) <> (l_partkey % 1499)
+"""
+
+
+def _motifs4_oracle() -> str:
+    """Size-4 induced census via the same ESCAPE closed forms as
+    motifs4_undirected (primitives + inclusion-exclusion), validated
+    against connected-4-set brute-force enumeration at sf0.001."""
+    return f"""
+WITH e AS MATERIALIZED ({_MOTIF4_E_SQL}),
+inc AS MATERIALIZED (
+  SELECT u AS ctr, v AS o FROM e UNION ALL SELECT v, u FROM e),
+deg AS MATERIALIZED (
+  SELECT ctr AS id, CAST(count(*) AS BIGINT) AS d FROM inc GROUP BY 1),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+tcount AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS t FROM tri),
+tv AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY 1),
+te AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT a AS u, b AS v FROM tri UNION ALL SELECT a, c FROM tri
+    UNION ALL SELECT b, c FROM tri) GROUP BY 1, 2),
+codeg AS MATERIALIZED (
+  SELECT i1.o AS y, i2.o AS z, CAST(count(*) AS BIGINT) AS c
+  FROM inc i1 JOIN inc i2 ON i1.ctr = i2.ctr AND i1.o < i2.o
+  GROUP BY 1, 2),
+prim AS MATERIALIZED (SELECT
+  (SELECT CAST(coalesce(sum(d*(d-1)*(d-2)/6), 0) AS BIGINT) FROM deg)
+    AS n_claw,
+  (SELECT CAST(coalesce(sum((du.d-1)*(dv.d-1)), 0) AS BIGINT)
+   FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v)
+    - 3 * (SELECT t FROM tcount) AS n_p4,
+  (SELECT CAST(coalesce(sum(tv.t*(deg.d-2)), 0) AS BIGINT)
+   FROM tv JOIN deg ON deg.id = tv.id) AS n_paw,
+  (SELECT CAST(coalesce(sum(t*(t-1)/2), 0) AS BIGINT) FROM te)
+    AS n_diamond,
+  (SELECT CAST(coalesce(sum(c*(c-1)/2), 0) AS BIGINT) FROM codeg) / 2
+    AS n_c4,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM tri JOIN inc ia ON ia.ctr = tri.a AND ia.o > tri.c
+   JOIN inc ib ON ib.ctr = tri.b AND ib.o = ia.o
+   JOIN inc ic ON ic.ctr = tri.c AND ic.o = ia.o) AS n_k4),
+ind AS MATERIALIZED (SELECT
+  n_k4 AS i_k4,
+  n_diamond - 6*n_k4 AS i_diamond,
+  n_c4 - (n_diamond - 6*n_k4) - 3*n_k4 AS i_c4,
+  n_paw - 4*(n_diamond - 6*n_k4) - 12*n_k4 AS i_paw,
+  n_claw, n_p4 FROM prim)
+SELECT CAST(iso.isoclass AS BIGINT) AS isoclass,
+       CAST(iso.cnt AS BIGINT) AS count
+FROM ind, LATERAL (VALUES
+  (4, ind.n_claw - ind.i_paw - 2*ind.i_diamond - 4*ind.i_k4),
+  (6, ind.n_p4 - 2*ind.i_paw - 4*ind.i_c4 - 6*ind.i_diamond
+      - 12*ind.i_k4),
+  (7, ind.i_paw), (8, ind.i_c4), (9, ind.i_diamond), (10, ind.i_k4)
+) AS iso(isoclass, cnt)
+"""
 
 
 _ART_SYM_CTES = f"""
@@ -1923,6 +2040,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_oracle(_WALK_LEN),
         "triad_census": _triad_census_oracle(),
         "motifs3": _motifs3_oracle(),
+        "motifs4": _motifs4_oracle(),
         "shortest_paths": _shortest_paths_oracle(_BFS_CAP),
         "community_compare": _community_compare_oracle(),
         "maximal_cliques": _maximal_cliques_oracle(),
@@ -1937,10 +2055,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _fingerprint_oracle(),
         "minhash_pairs": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),
+        "kcore": _kcore_oracle(12),
         # still rows-only (genuinely outside single-query SQL):
-        #  * kcore — the peel sequence's wave count is data-dependent
-        #    (no fixed unroll is faithful), and recursive CTEs cannot
-        #    aggregate per iteration;
         #  * louvain_sizes — data-dependent level/round counts plus
-        #    contraction between levels.
+        #    contraction between levels (and tie-break order inside a
+        #    level depends on the previous level's contraction ids).
     }

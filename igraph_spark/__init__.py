@@ -51,7 +51,12 @@ from igraph_spark.algorithms.centrality import (
     centralization_degree,
     constraint,
 )
-from igraph_spark.algorithms.motifs import motifs_randesu, triad_census
+from igraph_spark.algorithms.motifs import (
+    motifs4_undirected,
+    motifs_randesu,
+    motifs_randesu_sampled,
+    triad_census,
+)
 from igraph_spark.algorithms.biconnected import (
     articulation_points,
     biconnected_components,
@@ -63,11 +68,21 @@ from igraph_spark.algorithms.isomorphism import (
 )
 from igraph_spark.algorithms.paths import get_shortest_paths, girth
 from igraph_spark.algorithms.flow import (
+    edge_connectivity,
     gomory_hu_tree,
     maxflow,
+    min_st_vertex_cut,
     mincut,
     st_mincut,
+    vertex_connectivity,
 )
+from igraph_spark.algorithms.mst import (
+    is_forest,
+    is_tree,
+    laplacian,
+    minimum_spanning_tree,
+)
+from igraph_spark.operators.bipartite import maximum_bipartite_matching
 from igraph_spark.layouts import (
     layout_circle,
     layout_fruchterman_reingold,
@@ -125,6 +140,16 @@ __all__ = [
     "mincut",
     "st_mincut",
     "gomory_hu_tree",
+    "edge_connectivity",
+    "vertex_connectivity",
+    "min_st_vertex_cut",
+    "minimum_spanning_tree",
+    "is_tree",
+    "is_forest",
+    "laplacian",
+    "maximum_bipartite_matching",
+    "motifs4_undirected",
+    "motifs_randesu_sampled",
     "layout_circle",
     "layout_grid",
     "layout_random",

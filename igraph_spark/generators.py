@@ -32,12 +32,51 @@ KARATE_EDGES = [
 ]
 
 
+# Classic published graphs with the reference's vertex numbering
+# (igraph_famous tables, structure_generators.c:1711-1887; the graphs
+# themselves are public mathematical objects).  (n, edge list) pairs.
+FAMOUS = {
+    "bull": (5, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4)]),
+    "diamond": (4, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]),
+    "house": (5, [(0, 1), (0, 2), (1, 3), (2, 3), (2, 4), (3, 4)]),
+    "housex": (5, [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+                   (2, 4), (3, 4)]),
+    "tetrahedron": (4, [(0, 3), (1, 3), (2, 3), (0, 1), (1, 2), (0, 2)]),
+    "tetrahedral": (4, [(0, 3), (1, 3), (2, 3), (0, 1), (1, 2), (0, 2)]),
+    "octahedron": (6, [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5),
+                       (0, 3), (0, 5), (1, 3), (1, 4), (2, 4), (2, 5)]),
+    "cubical": (8, [(0, 1), (1, 2), (2, 3), (0, 3), (4, 5), (5, 6),
+                    (6, 7), (4, 7), (0, 4), (1, 5), (2, 6), (3, 7)]),
+    "petersen": (10, [(0, 1), (0, 4), (0, 5), (1, 2), (1, 6), (2, 3),
+                      (2, 7), (3, 4), (3, 8), (4, 9), (5, 7), (5, 8),
+                      (6, 8), (6, 9), (7, 9)]),
+    "krackhardt_kite": (10, [(0, 1), (0, 2), (0, 3), (0, 5), (1, 3),
+                             (1, 4), (1, 6), (2, 3), (2, 5), (3, 4),
+                             (3, 5), (3, 6), (4, 6), (5, 6), (5, 7),
+                             (6, 7), (7, 8), (8, 9)]),
+    "dodecahedron": (20, [(0, 1), (0, 4), (0, 5), (1, 2), (1, 6),
+                          (2, 3), (2, 7), (3, 4), (3, 8), (4, 9),
+                          (5, 10), (5, 11), (6, 10), (6, 14), (7, 13),
+                          (7, 14), (8, 12), (8, 13), (9, 11), (9, 12),
+                          (10, 15), (11, 16), (12, 17), (13, 18),
+                          (14, 19), (15, 16), (15, 19), (16, 17),
+                          (17, 18), (18, 19)]),
+}
+
+
 def famous(spark: SparkSession, name: str) -> Graph:
-    """igraph_famous analog; only "Zachary" is vendored (the parity
-    fixture used by the reference's own LPA test)."""
-    if name.lower() != "zachary":
-        raise ValueError(f"unknown famous graph {name!r}")
-    return Graph.from_edge_list(spark, KARATE_EDGES, n=34, directed=False)
+    """igraph_famous analog (structure_generators.c:1979-2120): the
+    classic small graphs with the reference's vertex numbering, plus
+    Zachary (the parity fixture used by the reference's own LPA
+    test)."""
+    key = name.lower()
+    if key == "zachary":
+        return Graph.from_edge_list(spark, KARATE_EDGES, n=34,
+                                    directed=False)
+    if key in FAMOUS:
+        n, edges = FAMOUS[key]
+        return Graph.from_edge_list(spark, edges, n=n, directed=False)
+    raise ValueError(f"unknown famous graph {name!r}")
 
 
 def ring(spark: SparkSession, n: int, directed: bool = False) -> Graph:

@@ -55,3 +55,47 @@ def bipartite_projection(graph: Graph, types: DataFrame,
              .agg(F.count("*").cast("double").alias("weight")))
     verts = t.where(F.col("type") == which).select(ID)
     return Graph(pairs, verts, directed=False, _canonical=True)
+
+
+def maximum_bipartite_matching(graph: Graph, types: DataFrame) -> dict:
+    """igraph_maximum_bipartite_matching
+    (/root/reference/src/matching.c) -> {"matching_size",
+    "matching": DataFrame(a, b)}.
+
+    Reduction to unit-capacity maxflow (Koenig): super-source -> every
+    type-0 vertex, type-0 -> type-1 along the graph's edges, type-1 ->
+    super-sink, all caps 1; the integral maxflow's middle arcs are a
+    maximum matching.  Reuses the distributed Edmonds-Karp kernel
+    (algorithms/flow.py), whose augmenting BFS is the same keyed
+    frontier join as every other BSP loop here.  ``types``:
+    DataFrame(id, type) with type in {0, 1}.
+    """
+    from igraph_spark.algorithms.flow import maxflow
+
+    spark = graph.edges.sparkSession
+    t0 = types.where(F.col("type") == 0).select(ID)
+    t1 = types.where(F.col("type") == 1).select(ID)
+    n = graph.vcount()
+    s_id, t_id = -1, -2
+    sym = graph.edges.select(SRC, DST).unionByName(
+        graph.edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))) \
+        if not graph.directed else graph.edges.select(SRC, DST)
+    mid = (sym.join(t0.withColumnRenamed(ID, SRC), SRC, "left_semi")
+           .join(t1.withColumnRenamed(ID, DST), DST, "left_semi")
+           .select(SRC, DST).distinct())
+    arcs = (t0.select(F.lit(s_id).cast("long").alias(SRC),
+                      F.col(ID).alias(DST))
+            .unionByName(mid)
+            .unionByName(t1.select(F.col(ID).alias(SRC),
+                                   F.lit(t_id).cast("long").alias(DST)))
+            .withColumn("weight", F.lit(1.0)))
+    verts = (graph.vertices.select(ID)
+             .unionByName(spark.createDataFrame([(s_id,), (t_id,)],
+                                                "id long")))
+    flow_g = Graph(arcs, verts, directed=True)
+    r = maxflow(flow_g, s_id, t_id, weights=True,
+                max_augmentations=n + 2)
+    matching = (r["flow"].where((F.col(SRC) >= 0) & (F.col(DST) >= 0)
+                                & (F.col("f") > 0.5))
+                .select(F.col(SRC).alias("a"), F.col(DST).alias("b")))
+    return {"matching_size": int(round(r["value"])), "matching": matching}

@@ -341,3 +341,85 @@ def assortativity_degree(graph: Graph) -> float:
                sym[DST] == F.col("b")))
     row = j.agg(F.corr("d_s", "d_d")).first()
     return float(row[0]) if row[0] is not None else float("nan")
+
+
+def assortativity_nominal(graph: Graph, types: DataFrame) -> float:
+    """igraph_assortativity_nominal (/root/reference/src/mixing.c):
+    (sum_i e_ii - sum_i a_i b_i) / (1 - sum_i a_i b_i) over the
+    type-mixing matrix e (fraction of edges between type pairs;
+    undirected edges counted in both directions).  ``types``:
+    DataFrame(id, type)."""
+    sym = (graph.edges.select(SRC, DST) if graph.directed
+           else graph.sym_edges()).where(F.col(SRC) != F.col(DST))
+    t_s = types.select(F.col(ID).alias(SRC), F.col("type").alias("ts"))
+    t_d = types.select(F.col(ID).alias(DST), F.col("type").alias("td"))
+    j = sym.join(t_s, SRC).join(t_d, DST).persist()
+    m = j.count()
+    if m == 0:
+        j.unpersist()
+        return float("nan")
+    eii = (j.where(F.col("ts") == F.col("td")).count()) / m
+    a = j.groupBy("ts").agg((F.count("*") / m).alias("a"))
+    b = j.groupBy("td").agg((F.count("*") / m).alias("b"))
+    ab = (a.join(b, a["ts"] == b["td"])
+          .agg(F.sum(F.col("a") * F.col("b"))).first()[0] or 0.0)
+    j.unpersist()
+    if ab == 1.0:
+        return float("nan")
+    return (eii - ab) / (1.0 - ab)
+
+
+def diversity(graph: Graph) -> DataFrame:
+    """igraph_diversity (structural_properties.c): Shannon entropy of
+    a vertex's incident edge weights over log(degree) ->
+    DataFrame(id, diversity); degree-0 vertices get NaN, degree-1
+    vertices 0 (the reference's conventions).  Undirected simple
+    weighted graphs."""
+    if graph.directed:
+        raise ValueError("diversity: undirected graphs only")
+    e = graph.weighted_edges().where(F.col(SRC) != F.col(DST))
+    inc = (e.select(F.col(SRC).alias(ID), WEIGHT)
+           .unionByName(e.select(F.col(DST).alias(ID), WEIGHT)))
+    tot = inc.groupBy(ID).agg(F.sum(WEIGHT).alias("tw"),
+                              F.count("*").alias("k"))
+    p = (inc.join(tot, ID)
+         .select(ID, "k", (F.col(WEIGHT) / F.col("tw")).alias("p")))
+    h = (p.groupBy(ID, "k")
+         .agg((-F.sum(F.col("p") * F.log("p"))).alias("h"))
+         .select(ID, F.when(F.col("k") == 1, F.lit(0.0))
+                 .otherwise(F.col("h") / F.log(F.col("k").cast("double")))
+                 .alias("diversity")))
+    return (graph.vertices.join(h, ID, "left")
+            .select(ID, F.coalesce("diversity", F.lit(float("nan")))
+                    .alias("diversity")))
+
+
+def neighborhood(graph: Graph, order: int, mode: str = "all",
+                 mindist: int = 0) -> DataFrame:
+    """igraph_neighborhood (structural_properties.c): vertices within
+    ``order`` hops of each vertex -> DataFrame(id, nbr, dist); the ego
+    graph is an induced_subgraph over one id's rows.  Bounded
+    multi-source BFS (every vertex a source) — O(V * E_local); at
+    cluster scale the frontier join is the same keyed exchange as one
+    BSP superstep per hop, ``order`` hops total."""
+    from igraph_spark.algorithms.paths import bfs_distances
+    d = bfs_distances(graph, graph.vertices.select(ID), mode,
+                      max_hops=order)
+    return (d.where(F.col("dist") >= mindist)
+            .select(F.col("source").alias(ID), F.col(ID).alias("nbr"),
+                    "dist"))
+
+
+def neighborhood_size(graph: Graph, order: int, mode: str = "all",
+                      mindist: int = 0) -> DataFrame:
+    """igraph_neighborhood_size -> DataFrame(id, size)."""
+    return (neighborhood(graph, order, mode, mindist)
+            .groupBy(ID).agg(F.count("*").cast("long").alias("size")))
+
+
+def radius(graph: Graph, mode: str = "out") -> float:
+    """igraph_radius (structural_properties.c): min eccentricity over
+    vertices; empty graph -> NaN like the reference."""
+    from igraph_spark.algorithms.paths import eccentricity
+    row = eccentricity(graph, mode).agg(F.min("ecc")).first()
+    return float(row[0]) if row and row[0] is not None else float("nan")

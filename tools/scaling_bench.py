@@ -31,6 +31,7 @@ from igraph_spark.generators import zipf_skew
 from igraph_spark.algorithms.pagerank import pagerank
 
 cores = int(sys.argv[1]); m = int(sys.argv[2]); steps = int(sys.argv[3])
+kernel = sys.argv[4] if len(sys.argv) > 4 else "join"
 PARTS = 64  # fixed across runs: >= 2x the larger core count
 spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=PARTS,
     extra_conf={{
@@ -43,21 +44,24 @@ spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=PARTS,
     }})
 g = zipf_skew(spark, n=1 << 21, m=m, seed=42, directed=True).hash_partition(PARTS)
 m_actual = g.ecount()
-pagerank(g, tol=0.0, max_iter=2, check_every=2, num_partitions=PARTS).count()  # JIT warmup
+pagerank(g, tol=0.0, max_iter=2, check_every=2, num_partitions=PARTS,
+         kernel=kernel).count()  # JIT warmup
 t0 = time.monotonic()
-pagerank(g, tol=0.0, max_iter=steps, check_every=5, num_partitions=PARTS).count()
+pagerank(g, tol=0.0, max_iter=steps, check_every=5, num_partitions=PARTS,
+         kernel=kernel).count()
 dt = time.monotonic() - t0
 print(json.dumps({{"cores": cores, "sec": dt, "edges": m_actual,
+                   "kernel": kernel,
                    "steps": steps,
                    "edges_per_sec_per_superstep": m_actual * steps / dt}}))
 spark.stop()
 """
 
 
-def run(cores: int, m: int, steps: int) -> dict:
+def run(cores: int, m: int, steps: int, kernel: str = "join") -> dict:
     script = WORKER.format(root=HERE)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), str(m), str(steps)],
+        [sys.executable, "-c", script, str(cores), str(m), str(steps), kernel],
         capture_output=True, text=True, timeout=1800, check=True)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
@@ -67,17 +71,20 @@ def main() -> None:
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    out_md = sys.argv[4] if len(sys.argv) > 4 else os.path.join(
-        HERE, "BENCH", f"scaling_{n_lo}_{n_hi}.json")
+    kernel = sys.argv[4] if len(sys.argv) > 4 else "join"
+    out_md = sys.argv[5] if len(sys.argv) > 5 else os.path.join(
+        HERE, "BENCH", f"scaling_{n_lo}_{n_hi}"
+        + ("" if kernel == "join" else f"_{kernel}") + ".json")
     steps = 10
-    r8 = run(n_lo, m, steps)
-    r32 = run(n_hi, m, steps)
+    r8 = run(n_lo, m, steps, kernel)
+    r32 = run(n_hi, m, steps, kernel)
     thr8, thr32 = (r8["edges_per_sec_per_superstep"],
                    r32["edges_per_sec_per_superstep"])
     eff = (thr32 / thr8) / (n_hi / n_lo)
     os.makedirs(os.path.dirname(out_md), exist_ok=True)
     with open(out_md, "w") as fh:
-        json.dump({"n_lo": n_lo, "n_hi": n_hi, "edges": r8["edges"],
+        json.dump({"n_lo": n_lo, "n_hi": n_hi, "kernel": kernel,
+                   "edges": r8["edges"],
                    "steps": steps, "sec_lo": r8["sec"],
                    "sec_hi": r32["sec"], "thr_lo": thr8, "thr_hi": thr32,
                    "eff": eff}, fh, indent=1)
