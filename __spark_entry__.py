@@ -259,6 +259,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(round(structure.assortativity_degree(g), 6),)],
             "assortativity double")
 
+    def q_assortativity_nominal(spark, sf):
+        # supplier co-order graph typed by nation
+        g = _graph(_supplier_edges(spark, sf), False)
+        types = (_t(spark, sf, "supplier")
+                 .select(F.col("s_suppkey").alias("id"),
+                         F.col("s_nationkey").alias("type")))
+        return spark.createDataFrame(
+            [(round(structure.assortativity_nominal(g, types), 9),)],
+            "assortativity_nominal double")
+
+    def q_diversity(spark, sf):
+        g = _graph(_supplier_edges(spark, sf), False)
+        return (structure.diversity(g)
+                .select("id", F.round("diversity", 9).alias("diversity")))
+
+    def q_neighborhood2(spark, sf):
+        g = _graph(_mod_edges(spark, sf), False)
+        return structure.neighborhood_size(g, 2, mode="all")
+
     def q_path_length_hist(spark, sf):
         g = _graph(_mod_edges(spark, sf), True)
         with _lean_conf(spark):
@@ -710,6 +729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inv_log_weighted": q_inv_log_weighted,
         "knn": q_knn,
         "assortativity": q_assortativity,
+        "assortativity_nominal": q_assortativity_nominal,
+        "diversity": q_diversity,
+        "neighborhood2": q_neighborhood2,
         "path_length_hist": q_path_length_hist,
         "bipartite_projection": q_bipartite_projection,
         "compose": q_compose,
@@ -1824,6 +1846,59 @@ def oracle_sql() -> dict[str, str]:
           din AS (SELECT dst, count(*) AS d_d FROM e GROUP BY 1)
           SELECT round(corr(d_s, d_d), 6) AS assortativity
           FROM e JOIN dout USING (src) JOIN din USING (dst)
+        """,
+        "assortativity_nominal": f"""
+          WITH se AS ({_SUPPLIER_E_SQL}),
+          sym AS (SELECT src AS a, dst AS b FROM se
+                  UNION ALL SELECT dst, src FROM se),
+          typed AS (
+            SELECT ts.s_nationkey AS ts, td.s_nationkey AS td
+            FROM sym JOIN supplier ts ON ts.s_suppkey = sym.a
+                     JOIN supplier td ON td.s_suppkey = sym.b),
+          m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM typed),
+          eii AS (SELECT count(*) / (SELECT m FROM m) AS eii
+                  FROM typed WHERE ts = td),
+          a AS (SELECT ts, count(*) / (SELECT m FROM m) AS a
+                FROM typed GROUP BY 1),
+          b AS (SELECT td, count(*) / (SELECT m FROM m) AS b
+                FROM typed GROUP BY 1),
+          ab AS (SELECT coalesce(sum(a.a * b.b), 0.0) AS ab
+                 FROM a JOIN b ON a.ts = b.td)
+          SELECT round(((SELECT eii FROM eii) - (SELECT ab FROM ab))
+                       / (1.0 - (SELECT ab FROM ab)), 9)
+                 AS assortativity_nominal
+        """,
+        "diversity": f"""
+          WITH se AS ({_SUPPLIER_E_SQL}),
+          inc AS (SELECT src AS id, weight AS w FROM se
+                  UNION ALL SELECT dst, weight FROM se),
+          tot AS (SELECT id, sum(w) AS tw, count(*) AS k
+                  FROM inc GROUP BY 1),
+          h AS (SELECT inc.id, tot.k,
+                       -sum((inc.w / tot.tw) * ln(inc.w / tot.tw)) AS h
+                FROM inc JOIN tot USING (id) GROUP BY 1, 2)
+          SELECT id, round(CASE WHEN k = 1 THEN 0.0
+                                ELSE h / ln(CAST(k AS DOUBLE)) END, 9)
+                 AS diversity
+          FROM h
+        """,
+        "neighborhood2": f"""
+          WITH em AS ({_MOD_E_SQL}),
+          e0 AS (SELECT * FROM em WHERE src <> dst),
+          sym AS (SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM e0
+                    UNION ALL SELECT dst, src FROM e0)),
+          v AS (SELECT DISTINCT id FROM (
+                  SELECT src AS id FROM em UNION ALL SELECT dst FROM em)),
+          hop2 AS (
+            SELECT v.id, v.id AS nbr FROM v
+            UNION
+            SELECT s.src, s.dst FROM sym s
+            UNION
+            SELECT s1.src, s2.dst FROM sym s1
+            JOIN sym s2 ON s2.src = s1.dst WHERE s2.dst <> s1.src)
+          SELECT id, CAST(count(*) AS BIGINT) AS size
+          FROM hop2 GROUP BY id
         """,
         "path_length_hist": f"""
           WITH RECURSIVE em AS ({_MOD_E_SQL}),

@@ -100,8 +100,12 @@ def _blocks(graph: Graph, max_rounds: int = 10000) -> tuple[DataFrame,
              .localCheckpoint(eager=True))
     parent = tree.select(F.col("child").alias("c"), F.col("parent").alias("p"))
     link_parts: list[DataFrame] = []
-    for _ in range(max_rounds):
-        if state.count() == 0:
+    # one Spark action per round (the emptiness probe); the state plan
+    # grows one join per round and is truncated every few rounds —
+    # emitted link pieces stay lazy (each is one join off a truncated
+    # state), unioned and materialized once at the end
+    for rnd in range(max_rounds):
+        if state.isEmpty():
             break
         move_x = F.col("dx") >= F.col("dy")   # ties move both fronts
         move_y = F.col("dy") >= F.col("dx")
@@ -123,20 +127,24 @@ def _blocks(graph: Graph, max_rounds: int = 10000) -> tuple[DataFrame,
             F.when(move_y, F.col("py")).otherwise(F.col("y")).alias("y"),
             F.when(move_y, F.col("dy") - 1).otherwise(F.col("dy")).alias("dy"),
             F.when(move_y, F.col("y")).otherwise(F.col("lasty")).alias("lasty"),
-        ).localCheckpoint(eager=True)
+        )
+        if rnd % 4 == 3:
+            nxt = nxt.localCheckpoint(eager=True)
         # fronts that met: join the two sides' last tree edges
         met = nxt.where(F.col("x") == F.col("y"))
         links = links.unionByName(
             met.where(F.col("lastx").isNotNull() & F.col("lasty").isNotNull())
             .select(F.col("lastx").alias("a"), F.col("lasty").alias("b")))
-        link_parts.append(links.localCheckpoint(eager=True))
-        state = (nxt.where(F.col("x") != F.col("y"))
-                 .localCheckpoint(eager=True))
+        link_parts.append(links)
+        state = nxt.where(F.col("x") != F.col("y"))
 
     if link_parts:
         all_links = link_parts[0]
         for p in link_parts[1:]:
             all_links = all_links.unionByName(p)
+        # materialize the lazy per-round pieces exactly once — the WCC
+        # fixpoint below runs many actions and must not re-execute them
+        all_links = all_links.localCheckpoint(eager=True)
     else:
         all_links = spark.createDataFrame([], "a long, b long")
     aux = Graph(all_links.select(F.col("a").alias(SRC),
