@@ -625,6 +625,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = component_sizes(g, "weak").localCheckpoint(eager=True)
         return out
 
+    def q_scc_sizes(spark, sf):
+        # strong components of the directed mod graph, as a size
+        # histogram (label-convention-agnostic, unlike wcc_sizes where
+        # the dense-rank labels are part of the contract)
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            out = (connected_components(g, "strong")
+                   .groupBy("component").agg(F.count("*").alias("size"))
+                   .groupBy("size")
+                   .agg(F.count("*").cast("long").alias("n_components"))
+                   .localCheckpoint(eager=True))
+        return out
+
     def q_lpa_community_sizes(spark, sf):
         g = _graph(_supplier_edges(spark, sf), False)
         with _lean_conf(spark):
@@ -774,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": q_ppr,
         "sssp_weighted": q_sssp_weighted,
         "wcc_sizes": q_wcc_sizes,
+        "scc_sizes": q_scc_sizes,
         "maximal_cliques": q_maximal_cliques,
         "girth": q_girth,
         "subiso_c4": q_subiso_c4,
@@ -1063,6 +1077,27 @@ mapping AS (SELECT comp,
 SELECT CAST(m.component AS BIGINT) AS component,
        CAST(count(*) AS BIGINT) AS size
 FROM comp c JOIN mapping m USING (comp) GROUP BY 1"""
+
+
+def _scc_sizes_oracle() -> str:
+    # strong components: mutual transitive reachability (r contains
+    # (root, node) reachable pairs; the self-join keeps mutual ones),
+    # reported as a size histogram
+    return f"""
+WITH RECURSIVE em AS ({_MOD_E_SQL}),
+e AS (SELECT * FROM em WHERE src <> dst),
+v AS (SELECT DISTINCT id FROM (
+        SELECT src AS id FROM em UNION ALL SELECT dst FROM em)),
+r AS (SELECT id AS root, id AS node FROM v
+      UNION
+      SELECT r.root, e.dst FROM r JOIN e ON e.src = r.node),
+scc AS (SELECT r1.root AS id, min(r1.node) AS lbl
+        FROM r r1 JOIN r r2 ON r2.root = r1.node AND r2.node = r1.root
+        GROUP BY 1),
+sizes AS (SELECT lbl, count(*) AS size FROM scc GROUP BY 1)
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY 1"""
 
 
 def _mod_dist_ctes(cap: int) -> str:
@@ -2110,6 +2145,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_oracle(_HITS_ITERS),
         "lpa_community_sizes": _lpa_oracle(_LPA_SWEEPS),
         "wcc_sizes": _wcc_sizes_oracle(),
+        "scc_sizes": _scc_sizes_oracle(),
         "closeness": _closeness_oracle(_BFS_CAP),
         "betweenness": _betweenness_oracle(_BC_LEVELS),
         "random_walks": _random_walks_oracle(_WALK_LEN),

@@ -103,6 +103,6 @@ def test_ncol_reader(spark, tmp_path):
 
 def test_read_graph_dispatch(spark, tmp_path):
     with pytest.raises(NotImplementedError):
-        read_graph(spark, "x", "pajek")
+        read_graph(spark, "x", "graphdb")
     with pytest.raises(ValueError):
         read_graph(spark, "x", "nope")
