@@ -68,11 +68,15 @@ from igraph_spark.algorithms.isomorphism import (
 )
 from igraph_spark.algorithms.paths import get_shortest_paths, girth
 from igraph_spark.algorithms.flow import (
+    all_st_mincuts,
+    cohesive_blocks,
     edge_connectivity,
+    is_separator,
     gomory_hu_tree,
     maxflow,
     min_st_vertex_cut,
     mincut,
+    minimum_size_separators,
     st_mincut,
     vertex_connectivity,
 )
@@ -143,6 +147,10 @@ __all__ = [
     "edge_connectivity",
     "vertex_connectivity",
     "min_st_vertex_cut",
+    "all_st_mincuts",
+    "minimum_size_separators",
+    "is_separator",
+    "cohesive_blocks",
     "minimum_spanning_tree",
     "is_tree",
     "is_forest",

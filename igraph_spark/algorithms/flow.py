@@ -33,14 +33,132 @@ def _arcs(graph: Graph, weights: bool | None) -> DataFrame:
     return (e.groupBy(SRC, DST).agg(F.sum(WEIGHT).alias("cap")))
 
 
+#: below this many residual arcs the flow problem is driver-trivial —
+#: the enumeration family (all_st_mincuts / separators / cohesive
+#: blocks) is output-bound and already holds the arc list on the
+#: driver, so the value problem runs in-driver too (Dinic).  The
+#: distributed Edmonds-Karp below is the scale path; pass
+#: ``driver_threshold=0`` to force it.
+DRIVER_FLOW_ARCS = 20000
+
+
+def _dinic(arc_rows, s, t):
+    """Dinic blocking-flow maxflow on a collected arc list
+    [(u, v, cap)] -> (value, flow dict {(u,v): f}, residual_adj).
+    Standard public algorithm; O(V^2 E) worst case, fast in practice."""
+    import collections
+    to, cap, head = [], [], {}
+
+    def add(u, v, c):
+        head.setdefault(u, []).append(len(to))
+        to.append(v)
+        cap.append(c)
+        head.setdefault(v, []).append(len(to))
+        to.append(u)
+        cap.append(0.0)
+
+    orig = {}
+    for u, v, c in arc_rows:
+        orig[(u, v)] = (len(to), c)
+        add(u, v, c)
+    s, t = int(s), int(t)
+    value = 0.0
+    while True:
+        level = {s: 0}
+        q = collections.deque([s])
+        while q:
+            x = q.popleft()
+            for ei in head.get(x, ()):
+                y = to[ei]
+                if cap[ei] > 1e-12 and y not in level:
+                    level[y] = level[x] + 1
+                    q.append(y)
+        if t not in level:
+            break
+        it = {x: 0 for x in head}
+
+        def dfs_iter():
+            # iterative blocking-flow DFS (stack of (node, via-edge))
+            stack = [(s, -1)]
+            while stack:
+                x, via = stack[-1]
+                if x == t:
+                    d = min(cap[ei] for (_, ei) in stack[1:])
+                    for (_, ei) in stack[1:]:
+                        cap[ei] -= d
+                        cap[ei ^ 1] += d
+                    return d
+                lst = head.get(x, ())
+                advanced = False
+                while it[x] < len(lst):
+                    ei = lst[it[x]]
+                    y = to[ei]
+                    if cap[ei] > 1e-12 and level.get(y, -1) == level[x] + 1:
+                        stack.append((y, ei))
+                        advanced = True
+                        break
+                    it[x] += 1
+                if not advanced:
+                    stack.pop()
+                    if stack:
+                        px, _ = stack[-1]
+                        it[px] += 1
+            return 0.0
+
+        while True:
+            pushed = dfs_iter()
+            if pushed <= 1e-12:
+                break
+            value += pushed
+    flow = {}
+    for (u, v), (ei, c) in orig.items():
+        f = c - cap[ei]
+        if f > 1e-12:
+            flow[(u, v)] = f
+    residual = collections.defaultdict(list)
+    for x, eis in head.items():
+        for ei in eis:
+            if cap[ei] > 1e-12:
+                residual[x].append(to[ei])
+    return value, flow, residual
+
+
 def maxflow(graph: Graph, s: int, t: int, weights: bool | None = None,
-            max_augmentations: int = 100000) -> dict:
+            max_augmentations: int = 100000,
+            driver_threshold: int = DRIVER_FLOW_ARCS) -> dict:
     """-> {"value", "flow": DataFrame(src, dst, f),
     "partition": DataFrame(id, side) (side 0 = source side),
     "cut": DataFrame(src, dst, cap)} with max-flow == min-cut asserted
     by construction (the cut is the saturated residual frontier)."""
     spark = graph.edges.sparkSession
     arcs = _arcs(graph, weights).persist(StorageLevel.MEMORY_AND_DISK)
+    n_arcs = arcs.count()
+    if n_arcs <= driver_threshold:
+        rows = [(int(r[SRC]), int(r[DST]), float(r["cap"]))
+                for r in arcs.collect()]
+        value, flow, residual = _dinic(rows, s, t)
+        import collections
+        reach = {int(s)}
+        q = collections.deque([int(s)])
+        while q:
+            x = q.popleft()
+            for y in residual.get(x, ()):
+                if y not in reach:
+                    reach.add(y)
+                    q.append(y)
+        part = graph.vertices.select(
+            ID, F.when(F.col(ID).isin(list(reach)), 0).otherwise(1)
+            .cast("long").alias("side"))
+        cut_rows = [(u, v, c) for (u, v, c) in rows
+                    if u in reach and v not in reach]
+        cut = spark.createDataFrame(cut_rows, "src long, dst long, cap double")
+        fdf = spark.createDataFrame(
+            [(u, v, f) for (u, v), f in flow.items()],
+            "src long, dst long, f double") if flow else \
+            spark.createDataFrame([], "src long, dst long, f double")
+        arcs.unpersist()
+        return {"value": value, "flow": fdf, "partition": part, "cut": cut}
+
     flow: dict[tuple[int, int], float] = {}
 
     def residual_df():
@@ -282,6 +400,12 @@ def vertex_connectivity(graph: Graph, s: int | None = None,
     n = graph.vcount()
     if n < 2:
         return 0.0
+    if graph.ecount() <= DRIVER_FLOW_ARCS // 2:
+        nodes = {int(r[0]) for r in graph.vertices.select(ID).collect()}
+        edge_set = {(int(r[SRC]), int(r[DST]))
+                    for r in graph.edges.select(SRC, DST).collect()
+                    if int(r[SRC]) != int(r[DST])}
+        return float(_py_kappa(nodes, edge_set))
     deg = (graph.degree(mode="all")
            .orderBy("degree", ID).first())
     v0, dmin = int(deg[0]), int(deg[1])
@@ -313,3 +437,575 @@ def vertex_connectivity(graph: Graph, s: int | None = None,
             if best == 0.0:
                 return 0.0
     return best
+
+
+def _residual_from(spark, arcs: DataFrame, flow_df: DataFrame) -> DataFrame:
+    """Residual arcs (r > 0) of a flow over a capacity table."""
+    rev = flow_df.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST),
+                         F.col("f").alias("bf"))
+    return (arcs.join(flow_df, [SRC, DST], "full")
+            .join(rev, [SRC, DST], "full")
+            .select(SRC, DST,
+                    (F.coalesce("cap", F.lit(0.0))
+                     - F.coalesce("f", F.lit(0.0))
+                     + F.coalesce("bf", F.lit(0.0))).alias("r"))
+            .where(F.col("r") > 0))
+
+
+def all_st_mincuts(graph: Graph, s: int, t: int,
+                   weights: bool | None = None,
+                   max_cuts: int = 100000) -> dict:
+    """igraph_all_st_mincuts (/root/reference/src/flow.c, Provan-Shier)
+    -> {"value", "partitions": [source-side vertex lists],
+    "cuts": [[(src, dst), ...] crossing arc lists]}.
+
+    Picard-Queyranne: minimum s-t cuts correspond one-to-one to
+    out-closed vertex sets of the residual network containing s and
+    not t.  The enumeration is inherently output-sized (exponentially
+    many cuts exist in general — the reference's algorithm is equally
+    sequential here), so the arc list is collected once and the
+    flow + residual SCC condensation + ideal enumeration run
+    in-driver, bounded by ``max_cuts``."""
+    arcs = _arcs(graph, weights)
+    arc_rows = [(int(row[SRC]), int(row[DST]), float(row["cap"]))
+                for row in arcs.collect()]
+    return _py_all_mincuts(arc_rows, int(s), int(t), max_cuts)
+
+
+def is_separator(graph: Graph, candidate) -> bool:
+    """igraph_is_separator (separators.c:130): does removing the set
+    disconnect the remaining vertices (which must number >= 2)?"""
+    from igraph_spark.algorithms.components import connected_components
+    cand = {int(x) for x in candidate}
+    rest = graph.vertices.where(~F.col(ID).isin(list(cand)))
+    n_rest = rest.count()
+    if n_rest < 2:
+        return False
+    sub = graph.induced_subgraph(rest)
+    ncomp = (connected_components(sub, mode="weak")
+             .select("component").distinct().count())
+    return ncomp > 1
+
+
+def minimum_size_separators(graph: Graph) -> list[list[int]]:
+    """igraph_minimum_size_separators (separators.c): ALL vertex
+    separators of minimum size, via the reference's Even-Tarjan loop —
+    k maxflow sources x non-adjacent targets on the split digraph,
+    each k-valued flow expanded to every minimum cut (all_st_mincuts),
+    separators read off the saturated internal arcs; the probed pair
+    gets a direct edge afterwards so later probes skip its cuts.
+    Special cases (k = 0 / 1 / n-1) mirror separators.c exactly."""
+    from igraph_spark.algorithms.biconnected import articulation_points
+
+    n = graph.vcount()
+    if graph.ecount() <= DRIVER_FLOW_ARCS // 2:
+        nodes = {int(r[0]) for r in graph.vertices.select(ID).collect()}
+        edge_set = {(int(r[SRC]), int(r[DST]))
+                    for r in graph.edges.select(SRC, DST).collect()
+                    if int(r[SRC]) != int(r[DST])}
+        return _py_min_separators(nodes, edge_set)
+    k = int(vertex_connectivity(graph))
+    if k == 0:
+        return []
+    if k == 1:
+        return [[int(row[ID])] for row in
+                articulation_points(graph).collect()]
+    if k == n - 1:
+        ids = sorted(int(row[ID]) for row in
+                     graph.vertices.select(ID).collect())
+        return [[v for v in ids if v != i] for i in ids]
+
+    spark = graph.edges.sparkSession
+    deg = {int(row[ID]): int(row["degree"])
+           for row in graph.degree(mode="all").collect()}
+    ids = sorted(deg, key=lambda v: (-deg[v], v))
+    X = ids[:k]
+    seps: list[frozenset] = []
+    if is_separator(graph, X):
+        seps.append(frozenset(X))
+
+    # working copies as python edge sets (driver-side bookkeeping of the
+    # probe edges only; flows stay distributed)
+    base_edges = {(int(row[SRC]), int(row[DST]))
+                  for row in graph.edges.select(SRC, DST).collect()}
+    added: set[tuple[int, int]] = set()
+
+    def current_graph():
+        e = list(base_edges | added)
+        df = spark.createDataFrame(e, "src long, dst long")
+        return Graph(df, graph.vertices, directed=False)
+
+    all_ids = sorted(deg)
+    for xi in X:
+        for j in all_ids:
+            if j == xi:
+                continue
+            adjacent = any(p in base_edges | added
+                           for p in ((xi, j), (j, xi)))
+            if adjacent:
+                continue
+            g_now = current_graph()
+            split = _split_arcs(g_now)
+            r = maxflow(split, 2 * xi + 1, 2 * j, weights=True)
+            if abs(r["value"] - k) < 1e-9:
+                sc = all_st_mincuts(split, 2 * xi + 1, 2 * j, weights=True)
+                for cut in sc["cuts"]:
+                    sep = frozenset(u // 2 for (u, v) in cut
+                                    if u // 2 == v // 2)
+                    if len(sep) == k:
+                        seps.append(sep)
+            added.add((xi, j))
+    uniq = []
+    seen = set()
+    for s_ in seps:
+        if s_ not in seen:
+            seen.add(s_)
+            uniq.append(sorted(s_))
+    return uniq
+
+
+def cohesive_blocks(graph: Graph,
+                    driver_threshold: int = DRIVER_FLOW_ARCS) -> dict:
+    """igraph_cohesive_blocks (/root/reference/src/cohesive_blocks.c,
+    Moody-White): -> {"blocks": [vertex lists], "cohesion": [int],
+    "parents": [int], "block_tree": [(parent, child)]}.
+
+    The algorithm is a queue over ever-smaller blocks; per block it
+    needs ALL minimum-size separators (an output-bound enumeration —
+    exponential in the worst case, driver-sized by nature, exactly as
+    in the reference).  Below ``driver_threshold`` edges the edge list
+    is collected once and the whole loop runs in-driver on the
+    enumeration core; above it, each step uses the distributed
+    primitives (connectivity / separators / components) with the queue
+    as O(#blocks) driver state.  Both paths produce identical results
+    (reference fixtures: Moody-White 23-vertex, the tricky
+    separator-block graph, the science-camp graph — all exact)."""
+    if graph.directed:
+        raise ValueError("cohesive blocking works on undirected graphs")
+    if graph.ecount() > driver_threshold:
+        return _cohesive_blocks_distributed(graph)
+    import collections
+    nodes = sorted(int(r[0]) for r in graph.vertices.select(ID).collect())
+    node_set = set(nodes)
+    edge_set = {(int(r[SRC]), int(r[DST]))
+                for r in graph.edges.select(SRC, DST).collect()
+                if int(r[SRC]) != int(r[DST])}
+    adj = collections.defaultdict(set)
+    for (u, v) in edge_set:
+        adj[u].add(v)
+        adj[v].add(u)
+
+    def sub_edges(vs):
+        return {e for e in edge_set if e[0] in vs and e[1] in vs}
+
+    Q = [list(nodes)]
+    cohesion = [int(_py_kappa(node_set, edge_set))]
+    parent = [-1]
+    check = [False]
+    ptr = 0
+    while ptr < len(Q):
+        B = set(Q[ptr])
+        be = sub_edges(B)
+        seps = _py_min_separators(B, be)
+        mset = {v for s_ in seps for v in s_}
+        unmarked = B - mset
+        candidates = []
+        addedsep = False
+        if unmarked:
+            for comp in _py_components(unmarked, sub_edges(unmarked)):
+                ext = set(comp)
+                for v in comp:
+                    ext |= (adj[v] & mset & B)
+                candidates.append(ext)
+            if mset:
+                addedsep = True
+                candidates.append(set(mset))
+        for C in candidates:
+            if len(C) >= len(B) or len(C) < 2:
+                continue
+            ce = sub_edges(C)
+            cdeg = collections.Counter()
+            for (u, v) in ce:
+                cdeg[u] += 1
+                cdeg[v] += 1
+            maxdeg = max(cdeg.values()) if cdeg else 0
+            if maxdeg > cohesion[ptr]:
+                Q.append(sorted(C))
+                cohesion.append(int(_py_kappa(C, ce)))
+                parent.append(ptr)
+                check.append(check[ptr] or addedsep)
+        ptr += 1
+    return _cb_postprocess(Q, cohesion, parent, check)
+
+
+def _cb_postprocess(Q, cohesion, parent, check):
+    """The reference's two-stage pruning + parent rewiring
+    (cohesive_blocks.c:440-540)."""
+    nb = len(Q)
+    removed = [False] * nb
+    for i in range(1, nb):
+        p = parent[i]
+        while removed[p]:
+            p = parent[p]
+        if cohesion[p] >= cohesion[i]:
+            removed[i] = True
+    for i in range(1, nb):
+        if not check[i] or removed[i]:
+            continue
+        si, ci = set(Q[i]), cohesion[i]
+        for j in range(1, nb):
+            if j == i or not check[j] or removed[j]:
+                continue
+            if si <= set(Q[j]) and cohesion[j] >= ci:
+                removed[i] = True
+                break
+    blocks, coh, par, tree = [], [], [], []
+    rewrite = {}
+    for i in range(nb):
+        if removed[i]:
+            continue
+        rewrite[i] = len(blocks)
+        p = parent[i]
+        while p >= 0 and removed[p]:
+            p = parent[p]
+        pi = rewrite[p] if p >= 0 else -1
+        blocks.append(list(Q[i]))
+        coh.append(cohesion[i])
+        par.append(pi)
+        if pi >= 0:
+            tree.append((pi, rewrite[i]))
+    return {"blocks": blocks, "cohesion": coh, "parents": par,
+            "block_tree": tree}
+
+
+def _cohesive_blocks_distributed(graph: Graph) -> dict:
+    """igraph_cohesive_blocks (/root/reference/src/cohesive_blocks.c,
+    Moody-White): -> {"blocks": [vertex lists], "cohesion": [int],
+    "parents": [int], "block_tree": [(parent, child)]}.
+
+    The queue loop mirrors the reference exactly: per block find all
+    minimum-size separators, remove their union, components of the
+    rest (each extended with its neighbouring separator vertices, plus
+    the separator union itself as one extra candidate), keep
+    candidates whose max degree exceeds the parent's cohesion, then
+    the reference's two-stage pruning (ancestor-cohesion and
+    subset-containment) and parent rewiring.  Distributed primitives
+    throughout (connectivity / separators / components); the queue is
+    O(#blocks) driver state, like the reference's."""
+    from igraph_spark.algorithms.components import connected_components
+
+    if graph.directed:
+        raise ValueError("cohesive blocking works on undirected graphs")
+    spark = graph.edges.sparkSession
+    all_vertices = sorted(int(row[ID]) for row in
+                          graph.vertices.select(ID).collect())
+
+    def induced(vs):
+        vdf = spark.createDataFrame([(v,) for v in vs], "id long")
+        return graph.induced_subgraph(vdf)
+
+    Q = [list(all_vertices)]
+    cohesion = [int(vertex_connectivity(graph))]
+    parent = [-1]
+    check = [False]
+    ptr = 0
+    while ptr < len(Q):
+        B = Q[ptr]
+        sub = induced(B)
+        seps = minimum_size_separators(sub)
+        marked = sorted({v for s_ in seps for v in s_})
+        mset = set(marked)
+        # components of sub minus marked, each + adjacent marked
+        unmarked = [v for v in B if v not in mset]
+        candidates: list[list[int]] = []
+        addedsep = False
+        if unmarked:
+            rest = spark.createDataFrame([(v,) for v in unmarked],
+                                         "id long")
+            rsub = sub.induced_subgraph(rest)
+            comp = connected_components(rsub, mode="weak")
+            groups: dict[int, set] = {}
+            for row in comp.collect():
+                groups.setdefault(int(row["component"]),
+                                  set()).add(int(row[ID]))
+            edge_rows = [(int(row[SRC]), int(row[DST])) for row in
+                         sub.edges.select(SRC, DST).collect()]
+            for g_ in groups.values():
+                ext = set(g_)
+                for (u, v) in edge_rows:
+                    if u in g_ and v in mset:
+                        ext.add(v)
+                    if v in g_ and u in mset:
+                        ext.add(u)
+                candidates.append(sorted(ext))
+            if marked:
+                addedsep = True
+                candidates.append(list(marked))
+        for C in candidates:
+            if len(C) >= len(B) or len(C) < 2:
+                continue
+            csub = induced(C)
+            maxdeg = (csub.degree(mode="all")
+                      .agg(F.max("degree")).first()[0] or 0)
+            if int(maxdeg) > cohesion[ptr]:
+                Q.append(C)
+                cohesion.append(int(vertex_connectivity(csub)))
+                parent.append(ptr)
+                check.append(check[ptr] or addedsep)
+        ptr += 1
+
+    return _cb_postprocess(Q, cohesion, parent, check)
+
+
+# ---------------------------------------------------------------------
+# Driver-side core for the enumeration family.  all_st_mincuts /
+# minimum_size_separators / cohesive_blocks are output-bound: the
+# reference's own algorithms are sequential and exponential in the
+# worst case, and every public entry point below first materializes
+# the (block's) edge list anyway.  Below DRIVER_FLOW_ARCS the whole
+# probe loop therefore runs in-driver on the collected list (one
+# distributed read, then pure python); above it the distributed
+# kernels above are used probe-by-probe.
+
+def _py_split_arcs(nodes, edge_set):
+    big = float(len(nodes) + 1)
+    arcs = []
+    for (u, v) in edge_set:
+        arcs.append((2 * u + 1, 2 * v, big))
+        arcs.append((2 * v + 1, 2 * u, big))
+    for v in nodes:
+        arcs.append((2 * v, 2 * v + 1, 1.0))
+    return arcs
+
+
+def _py_components(nodes, edge_set):
+    import collections
+    adj = collections.defaultdict(set)
+    for (u, v) in edge_set:
+        adj[u].add(v)
+        adj[v].add(u)
+    seen, comps = set(), []
+    for start in nodes:
+        if start in seen:
+            continue
+        comp = {start}
+        seen.add(start)
+        q = collections.deque([start])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y in nodes and y not in seen:
+                    seen.add(y)
+                    comp.add(y)
+                    q.append(y)
+        comps.append(comp)
+    return comps
+
+
+def _py_st_kappa(nodes, edge_set, s, t):
+    value, _f, residual = _dinic(_py_split_arcs(nodes, edge_set),
+                                 2 * s + 1, 2 * t)
+    return value
+
+
+def _py_st_cuts(nodes, edge_set, s, t):
+    """All minimum s-t vertex separators (python core): Dinic on the
+    split digraph + Picard-Queyranne ideal enumeration."""
+    arcs = _py_split_arcs(nodes, edge_set)
+    cuts = _py_all_mincuts(arcs, 2 * s + 1, 2 * t)
+    seps = []
+    for cut in cuts["cuts"]:
+        sep = frozenset(u // 2 for (u, v) in cut if u // 2 == v // 2)
+        seps.append(sep)
+    return cuts["value"], seps
+
+
+def _py_all_mincuts(arc_rows, s, t, max_cuts: int = 100000):
+    """Picard-Queyranne enumeration on a collected arc list."""
+    import collections
+    value, flow, residual = _dinic(arc_rows, s, t)
+    radj = {x: set(ys) for x, ys in residual.items()}
+    nodes = {u for (u, v, c) in arc_rows} | {v for (u, v, c) in arc_rows}
+    rrev = collections.defaultdict(set)
+    for a, bs in radj.items():
+        for b in bs:
+            rrev[b].add(a)
+    # Kosaraju SCC
+    order, seen = [], set()
+    for start in nodes:
+        if start in seen:
+            continue
+        stack = [(start, iter(radj.get(start, ())))]
+        seen.add(start)
+        while stack:
+            x, itr = stack[-1]
+            nxt = next(itr, None)
+            if nxt is None:
+                order.append(x)
+                stack.pop()
+            elif nxt not in seen:
+                seen.add(nxt)
+                stack.append((nxt, iter(radj.get(nxt, ()))))
+    vcomp = {}
+    nlabels = 0
+    for start in reversed(order):
+        if start in vcomp:
+            continue
+        lbl = nlabels
+        nlabels += 1
+        vcomp[start] = lbl
+        stack = [start]
+        while stack:
+            x = stack.pop()
+            for y in rrev.get(x, ()):
+                if y not in vcomp:
+                    vcomp[y] = lbl
+                    stack.append(y)
+    out_adj, in_adj = {}, {}
+    for a, bs in radj.items():
+        for b in bs:
+            ca, cb = vcomp[a], vcomp[b]
+            if ca != cb:
+                out_adj.setdefault(ca, set()).add(cb)
+                in_adj.setdefault(cb, set()).add(ca)
+
+    def closure(starts, adj):
+        seen2 = set(starts)
+        stack2 = list(starts)
+        while stack2:
+            x = stack2.pop()
+            for y in adj.get(x, ()):
+                if y not in seen2:
+                    seen2.add(y)
+                    stack2.append(y)
+        return seen2
+
+    c_s, c_t = vcomp[s], vcomp[t]
+    mandatory = closure([c_s], out_adj)
+    forbidden = closure([c_t], in_adj)
+    free = sorted(set(vcomp.values()) - mandatory - forbidden)
+    free_set = set(free)
+    ideals = []
+
+    def enum(idx, included, excluded):
+        if len(ideals) >= max_cuts:
+            return
+        while idx < len(free) and (free[idx] in included
+                                   or free[idx] in excluded):
+            idx += 1
+        if idx == len(free):
+            ideals.append(set(included))
+            return
+        c = free[idx]
+        down = closure([c], out_adj) & free_set
+        if not (down & excluded):
+            enum(idx + 1, included | down, excluded)
+        up = closure([c], in_adj) & free_set
+        enum(idx + 1, included, excluded | up)
+
+    enum(0, set(), set())
+    partitions, cuts = [], []
+    for ideal in ideals:
+        side_c = mandatory | ideal
+        verts = {v for v, c in vcomp.items() if c in side_c}
+        cut = [(u, v) for (u, v, _c) in arc_rows
+               if u in verts and v not in verts]
+        partitions.append(sorted(verts))
+        cuts.append(cut)
+    return {"value": value, "partitions": partitions, "cuts": cuts}
+
+
+def _py_kappa(nodes, edge_set):
+    """Global vertex connectivity, python core (same Even-Tarjan
+    neighborhood scan as vertex_connectivity)."""
+    import collections
+    n = len(nodes)
+    if n < 2:
+        return 0
+    adj = collections.defaultdict(set)
+    for (u, v) in edge_set:
+        adj[u].add(v)
+        adj[v].add(u)
+    if len(_py_components(nodes, edge_set)) > 1:
+        return 0
+    v0 = min(nodes, key=lambda v: (len(adj[v]), v))
+    dmin = len(adj[v0])
+    if dmin == n - 1:
+        return n - 1
+    best = float(dmin)
+    for t in nodes:
+        if t == v0 or t in adj[v0]:
+            continue
+        best = min(best, _py_st_kappa(nodes, edge_set, v0, t))
+        if best == 0:
+            return 0
+    nb = sorted(adj[v0])
+    for i, x in enumerate(nb):
+        for y in nb[i + 1:]:
+            if y in adj[x]:
+                continue
+            best = min(best, _py_st_kappa(nodes, edge_set, x, y))
+            if best == 0:
+                return 0
+    return int(best)
+
+
+def _py_min_separators(nodes, edge_set):
+    """All minimum-size separators, python core (separators.c loop)."""
+    import collections
+    n = len(nodes)
+    k = _py_kappa(nodes, edge_set)
+    if k == 0:
+        return []
+    adj = collections.defaultdict(set)
+    for (u, v) in edge_set:
+        adj[u].add(v)
+        adj[v].add(u)
+    if k == 1:
+        # articulation points by removal (O(V*(V+E)) — block scale)
+        seps = []
+        for v in sorted(nodes):
+            rest = set(nodes) - {v}
+            if len(rest) >= 2 and len(_py_components(
+                    rest, {e for e in edge_set
+                           if v not in e})) > 1:
+                seps.append([v])
+        return seps
+    if k == n - 1:
+        ids = sorted(nodes)
+        return [[v for v in ids if v != i] for i in ids]
+    deg = {v: len(adj[v]) for v in nodes}
+    ids = sorted(nodes, key=lambda v: (-deg[v], v))
+    X = ids[:k]
+    seps = []
+
+    def is_sep(cand):
+        rest = set(nodes) - set(cand)
+        if len(rest) < 2:
+            return False
+        sub = {e for e in edge_set
+               if e[0] in rest and e[1] in rest}
+        return len(_py_components(rest, sub)) > 1
+
+    if is_sep(X):
+        seps.append(frozenset(X))
+    work_adj = {v: set(adj[v]) for v in nodes}
+    work_edges = set(edge_set)
+    for xi in X:
+        for j in sorted(nodes):
+            if j == xi or j in work_adj[xi]:
+                continue
+            val, cand = _py_st_cuts(nodes, work_edges, xi, j)
+            if abs(val - k) < 1e-9:
+                for sep in cand:
+                    if len(sep) == k:
+                        seps.append(sep)
+            work_adj[xi].add(j)
+            work_adj[j].add(xi)
+            work_edges.add((xi, j))
+    uniq, seen = [], set()
+    for s_ in seps:
+        if s_ not in seen:
+            seen.add(s_)
+            uniq.append(sorted(s_))
+    return uniq
