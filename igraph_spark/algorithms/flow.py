@@ -1009,3 +1009,23 @@ def _py_min_separators(nodes, edge_set):
             seen.add(s_)
             uniq.append(sorted(s_))
     return uniq
+
+
+def edge_disjoint_paths(graph: Graph, s: int, t: int) -> int:
+    """igraph_edge_disjoint_paths == s-t edge connectivity (Menger)."""
+    return int(edge_connectivity(graph, s, t))
+
+
+def vertex_disjoint_paths(graph: Graph, s: int, t: int) -> int:
+    """igraph_vertex_disjoint_paths == s-t vertex connectivity."""
+    return int(vertex_connectivity(graph, s, t))
+
+
+def adhesion(graph: Graph) -> float:
+    """igraph_adhesion == global edge connectivity."""
+    return edge_connectivity(graph)
+
+
+def cohesion(graph: Graph) -> float:
+    """igraph_cohesion == global vertex connectivity."""
+    return vertex_connectivity(graph)

@@ -613,3 +613,81 @@ def rewire(graph: Graph, n_rounds: int = 10, seed: int = 42) -> Graph:
         j.unpersist()
         cand.unpersist()
     return Graph(cur, graph.vertices, directed=directed)
+
+
+def full_citation(spark: SparkSession, n: int) -> Graph:
+    """igraph_full_citation (structure_generators.c:1078): directed
+    edges i -> j for every j < i."""
+    a = spark.range(n).toDF("src")
+    b = spark.range(n).toDF("dst")
+    e = a.crossJoin(b).where("dst < src")
+    return Graph(e, spark.range(n).toDF("id"), directed=True)
+
+
+def preference_game(spark: SparkSession, n: int, types: int,
+                    type_dist: list[float] | None = None,
+                    pref_matrix: list[list[float]] | None = None,
+                    seed: int = 42, directed: bool = False) -> Graph:
+    """igraph_preference_game (games.c:2209): vertices get types by
+    ``type_dist`` fractions (deterministic: cumulative quantile of the
+    vertex index — same marginal, reproducible), pair (i, j) becomes an
+    edge with probability pref_matrix[type_i][type_j].  Hash-
+    thresholded O(n^2) candidate space like sbm — fixture scale; the
+    sparse path is gnm per type-block pair.  Returns a graph whose
+    vertices DataFrame carries a ``type`` column."""
+    if type_dist is None:
+        type_dist = [1.0 / types] * types
+    if pref_matrix is None:
+        pref_matrix = [[0.5 if i == j else 0.1 for j in range(types)]
+                       for i in range(types)]
+    tot = sum(type_dist)
+    cum, acc = [], 0.0
+    for frac in type_dist:
+        acc += frac / tot
+        cum.append(acc)
+    tcol = F.lit(types - 1)
+    for k in range(types - 2, -1, -1):
+        tcol = F.when((F.col("id") + 1) / n <= cum[k] + 1e-12,
+                      k).otherwise(tcol)
+    verts = spark.range(n).select("id", tcol.cast("int").alias("type"))
+    a = verts.select(F.col("id").alias("src"),
+                     F.col("type").alias("ta"))
+    b = verts.select(F.col("id").alias("dst"),
+                     F.col("type").alias("tb"))
+    pairs = a.crossJoin(b)
+    pairs = pairs.where("src != dst") if directed else \
+        pairs.where("src < dst")
+    p = F.lit(0.0)
+    for i in range(types):
+        for j in range(types):
+            p = F.when((F.col("ta") == i) & (F.col("tb") == j),
+                       F.lit(float(pref_matrix[i][j]))).otherwise(p)
+    u = _u01(F.col("src") * n + F.col("dst"), seed, 11)
+    e = pairs.where(u < p).select("src", "dst")
+    return Graph(e, verts, directed=directed, _canonical=not directed)
+
+
+def islands(spark: SparkSession, islands_n: int, islands_size: int,
+            p_in: float, n_inter: int, seed: int = 42) -> Graph:
+    """igraph_simple_interconnected_islands_game (games.c:3345):
+    ``islands_n`` G(size, p_in) islands plus ``n_inter`` hash-chosen
+    inter-island edges per island pair."""
+    n = islands_n * islands_size
+    a = spark.range(n).toDF("src")
+    b = spark.range(n).toDF("dst")
+    pairs = a.crossJoin(b).where("src < dst")
+    isl = lambda c: (F.col(c) / islands_size).cast("long")  # noqa: E731
+    u = _u01(F.col("src") * n + F.col("dst"), seed, 13)
+    intra = pairs.where((isl("src") == isl("dst")) & (u < p_in))
+    # per island pair, the n_inter smallest hash draws become edges
+    from pyspark.sql import Window
+    inter_c = pairs.where(isl("src") != isl("dst")).select(
+        "src", "dst", u.alias("u"), isl("src").alias("ia"),
+        isl("dst").alias("ib"))
+    w = Window.partitionBy("ia", "ib").orderBy("u", "src", "dst")
+    inter = (inter_c.select("src", "dst",
+                            F.row_number().over(w).alias("rk"))
+             .where(F.col("rk") <= n_inter).select("src", "dst"))
+    e = intra.unionByName(inter)
+    return Graph(e, spark.range(n).toDF("id"), directed=False,
+                 _canonical=True)

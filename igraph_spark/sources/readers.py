@@ -629,6 +629,30 @@ def write_dot(graph: Graph, names: DataFrame | None, path: str) -> None:
         fh.write("}\n")
 
 
+def write_leda(graph: Graph, names: DataFrame | None, path: str) -> None:
+    """igraph_write_graph_leda analog (foreign.c:3151): LEDA.GRAPH
+    native format, 1-based ids, optional string node labels."""
+    if names is None:
+        names = graph.vertices.select(
+            F.col("id"), F.col("id").cast("string").alias("name"))
+    n = names.count()
+    has_w = graph.has_weights
+    e = graph.weighted_edges() if has_w else graph.edges.select("src", "dst")
+    m = e.count()
+    with open(path, "w") as fh:
+        fh.write("LEDA.GRAPH\nstring\n")
+        fh.write(("int" if has_w else "void") + "\n")
+        fh.write(("-1" if graph.directed else "-2") + "\n")
+        fh.write(f"{n}\n")
+        for r in names.orderBy("id").toLocalIterator():
+            fh.write("|{" + str(r["name"]) + "}|\n")
+        fh.write(f"{m}\n")
+        for r in e.toLocalIterator():
+            data = repr(r["weight"]) if has_w else ""
+            fh.write(f'{r["src"] + 1} {r["dst"] + 1} 0 ' + "|{"
+                     + data + "}|\n")
+
+
 def read_graph(spark: SparkSession, path: str, fmt: str, **kw):
     """Dispatcher mirroring igraph's per-format readers; unsupported
     legacy formats are explicit non-goals (SURVEY.md §2.1)."""

@@ -78,3 +78,72 @@ def test_radius(spark):
     star = Graph.from_edge_list(
         spark, [(0, i) for i in range(1, 6)], n=6, directed=False)
     assert radius(star, mode="all") == 1.0
+
+
+def test_full_citation(spark):
+    from igraph_spark.generators import full_citation
+    g = full_citation(spark, 4)
+    assert g.directed
+    assert sorted((r.src, r.dst) for r in g.edges.collect()) == \
+        [(1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (3, 2)]
+
+
+def test_preference_game_types_and_determinism(spark):
+    from igraph_spark.generators import preference_game
+    g = preference_game(spark, 60, 3, [0.5, 0.25, 0.25],
+                        [[0.8, 0.05, 0.05], [0.05, 0.8, 0.05],
+                         [0.05, 0.05, 0.8]], seed=5)
+    types = {r.id: r.type for r in g.vertices.collect()}
+    counts = [sum(1 for t in types.values() if t == k) for k in range(3)]
+    assert counts == [30, 15, 15]
+    from pyspark.sql import functions as F2
+    e = g.edges
+    tt = (e.join(g.vertices.select(F2.col("id").alias("src"),
+                                   F2.col("type").alias("ta")), "src")
+          .join(g.vertices.select(F2.col("id").alias("dst"),
+                                  F2.col("type").alias("tb")), "dst"))
+    same = tt.where("ta = tb").count()
+    diff = tt.where("ta != tb").count()
+    assert same > diff  # assortative preference dominates
+    g2 = preference_game(spark, 60, 3, [0.5, 0.25, 0.25],
+                         [[0.8, 0.05, 0.05], [0.05, 0.8, 0.05],
+                          [0.05, 0.05, 0.8]], seed=5)
+    assert sorted(map(tuple, g.edges.collect())) == \
+        sorted(map(tuple, g2.edges.collect()))
+
+
+def test_islands_game(spark):
+    from igraph_spark.generators import islands
+    from igraph_spark.algorithms.components import connected_components
+    g = islands(spark, 3, 8, 0.9, 2, seed=3)
+    assert g.vcount() == 24
+    ncomp = (connected_components(g, "weak")
+             .select("component").distinct().count())
+    assert ncomp == 1  # inter edges connect the dense islands
+    # exactly n_inter edges between each island pair
+    from pyspark.sql import functions as F2
+    inter = g.edges.where(
+        (F2.col("src") / 8).cast("long") != (F2.col("dst") / 8).cast("long"))
+    assert inter.count() == 2 * 3  # 3 island pairs x 2
+
+
+def test_flow_aliases(spark):
+    from igraph_spark.algorithms.flow import (
+        adhesion, cohesion, edge_disjoint_paths, vertex_disjoint_paths)
+    from igraph_spark.generators import famous
+    p = famous(spark, "petersen")
+    assert adhesion(p) == 3.0 and cohesion(p) == 3.0
+    assert edge_disjoint_paths(p, 0, 7) == 3
+    assert vertex_disjoint_paths(p, 0, 7) == 3
+
+
+def test_write_leda(spark, tmp_path):
+    import os
+    from igraph_spark.graph import Graph
+    from igraph_spark.sources.readers import write_leda
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2)], n=3, directed=True)
+    p = os.path.join(str(tmp_path), "g.leda")
+    write_leda(g, None, p)
+    txt = open(p).read().splitlines()
+    assert txt[0] == "LEDA.GRAPH" and txt[3] == "-1" and txt[4] == "3"
+    assert txt[-1] == "2 3 0 |{}|"
