@@ -278,6 +278,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(_mod_edges(spark, sf), False)
         return structure.neighborhood_size(g, 2, mode="all")
 
+    def q_mst(spark, sf):
+        # supplier graph with collision-free deterministic weights
+        # (w = src*100000 + dst) -> the MST is unique, so the full
+        # edge set is hash-comparable
+        from igraph_spark.algorithms.mst import minimum_spanning_tree
+        e = (_supplier_edges(spark, sf)
+             .select("src", "dst",
+                     (F.col("src") * 100000 + F.col("dst"))
+                     .cast("double").alias("weight")))
+        g = _graph(e, False)
+        with _lean_conf(spark):
+            out = (minimum_spanning_tree(g)
+                   .select("src", "dst", "weight")
+                   .localCheckpoint(eager=True))
+        return out
+
+    def q_radius(spark, sf):
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            val = structure.radius(g, mode="out")
+        return spark.createDataFrame([(float(val),)], "radius double")
+
     def q_path_length_hist(spark, sf):
         g = _graph(_mod_edges(spark, sf), True)
         with _lean_conf(spark):
@@ -745,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity_nominal": q_assortativity_nominal,
         "diversity": q_diversity,
         "neighborhood2": q_neighborhood2,
+        "radius": q_radius,
+        "mst": q_mst,
         "path_length_hist": q_path_length_hist,
         "bipartite_projection": q_bipartite_projection,
         "compose": q_compose,
@@ -1098,6 +1122,57 @@ sizes AS (SELECT lbl, count(*) AS size FROM scc GROUP BY 1)
 SELECT CAST(size AS BIGINT) AS size,
        CAST(count(*) AS BIGINT) AS n_components
 FROM sizes GROUP BY 1"""
+
+
+_SUP_W_SQL = """
+  WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+         CAST(a.l_suppkey * 100000 + b.l_suppkey AS DOUBLE) AS w
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+"""
+
+
+def _mst_oracle(rounds: int) -> str:
+    """Boruvka unrolled: per round a recursive closure labels the
+    chosen-so-far forest's components, every component picks its
+    minimum (w, src, dst) cross edge, the union accumulates.  The MST
+    is unique (weights are collision-free by construction), so extra
+    rounds past convergence are no-ops; 8 rounds cover 2^8 components.
+    Validated against in-driver Kruskal at sf0.001 and sf0.01."""
+    sql = f"""
+WITH RECURSIVE e AS MATERIALIZED ({_SUP_W_SQL}),
+v AS MATERIALIZED (SELECT DISTINCT id FROM (
+      SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+ch0 AS MATERIALIZED (SELECT src, dst, w FROM e WHERE FALSE)"""
+    for k in range(1, rounds + 1):
+        p = k - 1
+        sql += f""",
+sym{k} AS (SELECT src, dst FROM ch{p} UNION ALL SELECT dst, src FROM ch{p}),
+reach{k} AS (
+  SELECT id AS root, id AS node FROM v
+  UNION
+  SELECT reach{k}.root, s.dst FROM reach{k} JOIN sym{k} s
+    ON s.src = reach{k}.node),
+comp{k} AS MATERIALIZED (
+  SELECT root AS id, min(node) AS c FROM reach{k} GROUP BY 1),
+cross{k} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w, ca.c AS ca, cb.c AS cb
+  FROM e JOIN comp{k} ca ON ca.id = e.src
+         JOIN comp{k} cb ON cb.id = e.dst
+  WHERE ca.c <> cb.c),
+best{k} AS MATERIALIZED (
+  SELECT DISTINCT src, dst, w FROM (
+    SELECT src, dst, w,
+           row_number() OVER (PARTITION BY c ORDER BY w, src, dst) AS rk
+    FROM (SELECT src, dst, w, ca AS c FROM cross{k}
+          UNION ALL SELECT src, dst, w, cb FROM cross{k}))
+  WHERE rk = 1),
+ch{k} AS MATERIALIZED (
+  SELECT src, dst, w FROM ch{p} UNION SELECT src, dst, w FROM best{k})"""
+    sql += f"\nSELECT src, dst, w AS weight FROM ch{rounds}"
+    return sql
 
 
 def _mod_dist_ctes(cap: int) -> str:
@@ -2146,7 +2221,11 @@ def oracle_sql() -> dict[str, str]:
         "lpa_community_sizes": _lpa_oracle(_LPA_SWEEPS),
         "wcc_sizes": _wcc_sizes_oracle(),
         "scc_sizes": _scc_sizes_oracle(),
+        "mst": _mst_oracle(8),
         "closeness": _closeness_oracle(_BFS_CAP),
+        "radius": _mod_dist_ctes(_BFS_CAP) + """
+SELECT CAST(min(ecc) AS DOUBLE) AS radius
+FROM (SELECT source, max(dist) AS ecc FROM md GROUP BY 1)""",
         "betweenness": _betweenness_oracle(_BC_LEVELS),
         "random_walks": _random_walks_oracle(_WALK_LEN),
         "triad_census": _triad_census_oracle(),
