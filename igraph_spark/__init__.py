@@ -62,6 +62,8 @@ from igraph_spark.algorithms.biconnected import (
     biconnected_components,
 )
 from igraph_spark.algorithms.community_metrics import compare_communities
+from igraph_spark.algorithms.cliques import clique_number, cliques
+from igraph_spark.algorithms.epidemics import sir
 from igraph_spark.algorithms.isomorphism import (
     count_subisomorphisms,
     subgraph_isomorphisms,
@@ -125,6 +127,9 @@ __all__ = [
     "edge_betweenness",
     "girvan_newman",
     "maximal_cliques",
+    "cliques",
+    "clique_number",
+    "sir",
     "multilevel_communities",
     "eigenvector_centrality",
     "hits",

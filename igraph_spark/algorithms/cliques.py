@@ -94,3 +94,52 @@ def maximal_cliques(graph: Graph, min_size: int = 1,
     for p in out_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cliques(graph: Graph, min_size: int = 1,
+            max_size: int | None = None,
+            max_rounds: int = 1000) -> DataFrame:
+    """igraph_cliques (/root/reference/src/cliques.c:327): ALL complete
+    subgraphs with min_size <= size [<= max_size] ->
+    DataFrame(clique array<long>, size).  Same degeneracy-oriented
+    expansion as maximal_cliques, emitting every frontier row instead
+    of only the witness-empty ones."""
+    frontier, adj = _clique_frontier(graph)
+    out_parts: list[DataFrame] = []
+    size = 1
+    while size <= (max_size or max_rounds):
+        frontier = frontier.persist(StorageLevel.MEMORY_AND_DISK)
+        if frontier.isEmpty():
+            frontier.unpersist()
+            break
+        if size >= min_size:
+            out_parts.append(
+                frontier.select(F.sort_array("members").alias("clique"),
+                                F.lit(size).cast("long").alias("size"))
+                .localCheckpoint(eager=True))
+        nxt = (frontier.where(F.size("cands") > 0)
+               .select("members", "cands", F.explode("cands").alias("w")))
+        frontier_new = (nxt.join(adj.withColumnRenamed(ID, "w"), "w")
+                        .select(F.concat("members", F.array("w"))
+                                .alias("members"),
+                                F.array_intersect("cands", "fwd")
+                                .alias("cands"),
+                                F.lit(None).cast("array<long>")
+                                .alias("ext")))
+        frontier.unpersist()
+        frontier = frontier_new
+        size += 1
+    adj.unpersist()
+    spark = graph.edges.sparkSession
+    if not out_parts:
+        return spark.createDataFrame([], "clique array<long>, size long")
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def clique_number(graph: Graph) -> int:
+    """igraph_clique_number: the largest clique size."""
+    row = maximal_cliques(graph).agg(F.max("size")).first()
+    return int(row[0]) if row and row[0] is not None else 0
