@@ -64,6 +64,7 @@ from igraph_spark.algorithms.biconnected import (
 from igraph_spark.algorithms.community_metrics import compare_communities
 from igraph_spark.algorithms.cliques import clique_number, cliques
 from igraph_spark.algorithms.epidemics import sir
+from igraph_spark.algorithms.spectral import leading_eigenvector_communities
 from igraph_spark.algorithms.isomorphism import (
     count_subisomorphisms,
     subgraph_isomorphisms,
@@ -130,6 +131,7 @@ __all__ = [
     "cliques",
     "clique_number",
     "sir",
+    "leading_eigenvector_communities",
     "multilevel_communities",
     "eigenvector_centrality",
     "hits",
