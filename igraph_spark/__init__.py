@@ -90,6 +90,7 @@ from igraph_spark.algorithms.mst import (
     minimum_spanning_tree,
 )
 from igraph_spark.operators.bipartite import maximum_bipartite_matching
+from igraph_spark.operators.structure import contract_vertices, from_adjacency
 from igraph_spark.layouts import (
     layout_circle,
     layout_fruchterman_reingold,
@@ -144,6 +145,8 @@ __all__ = [
     "articulation_points",
     "biconnected_components",
     "compare_communities",
+    "contract_vertices",
+    "from_adjacency",
     "count_subisomorphisms",
     "subgraph_isomorphisms",
     "girth",

@@ -87,6 +87,7 @@ def maximal_cliques(graph: Graph, min_size: int = 1,
         frontier.unpersist()
         frontier = frontier_new
         size += 1
+    adj.unpersist()
     spark = graph.edges.sparkSession
     if not out_parts:
         return spark.createDataFrame([], "clique array<long>, size long")

@@ -288,17 +288,22 @@ def gomory_hu_tree(graph: Graph, weights: bool | None = None) -> DataFrame:
 
 
 def mincut(graph: Graph, weights: bool | None = None) -> dict:
-    """Global minimum cut (igraph_mincut, flow.c:1615) for undirected
-    graphs: min over t of the s-t mincut with s fixed to the minimum
-    vertex id (any global cut separates s from some t)."""
+    """Global minimum cut (igraph_mincut, flow.c:1615).
+
+    Undirected: min over t of the s-t mincut with s fixed to the minimum
+    vertex id (any global cut separates s from some t).  Directed
+    (igraph_i_mincut_directed): a global cut has s on either side, so
+    probe BOTH (s,t) and (t,s) per candidate t."""
     ids = [int(r[0]) for r in graph.vertices.select(ID).orderBy(ID)
            .collect()]
     s = ids[0]
     best = None
     for t in ids[1:]:
-        cand = maxflow(graph, s, t, weights)
-        if best is None or cand["value"] < best["value"]:
-            best = cand
+        pairs = ((s, t), (t, s)) if graph.directed else ((s, t),)
+        for a, b in pairs:
+            cand = maxflow(graph, a, b, weights)
+            if best is None or cand["value"] < best["value"]:
+                best = cand
         if best["value"] == 0.0:
             break
     return best

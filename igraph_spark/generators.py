@@ -248,8 +248,11 @@ def barabasi(spark: SparkSession, n: int, m: int = 1, seed: int = 42,
         (F.floor(F.col("id") / m) + 1).alias("src"))
 
     def _k(ref: F.Column) -> F.Column:
+        # B-B recurrence: slot t's target position is uniform in
+        # [0, 2t+1) — position 2t (the slot's own source) is the
+        # self-attachment mass of the bag model (games.c:486)
         return F.when(ref > 0,
-                      F.pmod(F.xxhash64(ref, F.lit(seed)), 2 * ref)) \
+                      F.pmod(F.xxhash64(ref, F.lit(seed)), 2 * ref + 1)) \
                 .otherwise(F.lit(0))
 
     k0 = _k(F.col("t"))

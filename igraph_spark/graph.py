@@ -95,12 +95,15 @@ class Graph:
 
     @property
     def vertices(self) -> DataFrame:
-        if self._vertices is not None:
-            return self._vertices
-        e = self.edges
-        return (e.select(F.col(SRC).alias(ID))
-                 .unionByName(e.select(F.col(DST).alias(ID)))
-                 .distinct())
+        if self._vertices is None:
+            # memoize the derived endpoint-distinct plan: algorithms touch
+            # .vertices several times per call and Catalyst cannot share
+            # separately-built identical subtrees across actions
+            e = self.edges
+            self._vertices = (e.select(F.col(SRC).alias(ID))
+                               .unionByName(e.select(F.col(DST).alias(ID)))
+                               .distinct())
+        return self._vertices
 
     @property
     def has_weights(self) -> bool:
@@ -117,10 +120,14 @@ class Graph:
     # basic counts
     # ------------------------------------------------------------------
     def vcount(self) -> int:
-        return self.vertices.count()
+        if getattr(self, "_vcount", None) is None:
+            self._vcount = self.vertices.count()
+        return self._vcount
 
     def ecount(self) -> int:
-        return self.edges.count()
+        if getattr(self, "_ecount", None) is None:
+            self._ecount = self.edges.count()
+        return self._ecount
 
     # ------------------------------------------------------------------
     # traversal views

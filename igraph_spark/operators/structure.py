@@ -260,6 +260,9 @@ def from_adjacency(spark, matrix, directed: bool = True) -> Graph:
                  .alias("_k")).drop("_k")
     return Graph(e, spark.range(n).toDF(ID), directed=directed,
                  _canonical=not directed)
+
+
+def contract_vertices(graph: Graph, mapping) -> Graph:
     """igraph_contract_vertices (structural_properties.c:6306): quotient
     graph under ``mapping`` DataFrame(id, group)."""
     m = mapping.select(F.col(mapping.columns[0]).alias(ID),

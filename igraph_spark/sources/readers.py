@@ -24,6 +24,23 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from igraph_spark.graph import Graph
 
 
+def _xml_escape(s) -> str:
+    """Entity-escape a vertex name for XML output (igraph does the same
+    via igraph_i_xml_escape before writing GraphML)."""
+    return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def _gml_escape(s) -> str:
+    """GML string escaping (entities, like igraph's GML writer)."""
+    return str(s).replace("&", "&amp;").replace('"', "&quot;")
+
+
+def _gml_unescape_col(c):
+    return F.regexp_replace(F.regexp_replace(c, "&quot;", '"'),
+                            "&amp;", "&")
+
+
 def read_edgelist(spark: SparkSession, path: str, directed: bool = True,
                   sep: str = " ") -> Graph:
     """igraph_read_graph_edgelist (foreign.c:78): whitespace-separated
@@ -172,16 +189,16 @@ def write_graphml(graph: Graph, names: DataFrame | None, path: str) -> None:
         mode = "directed" if graph.directed else "undirected"
         fh.write(f'  <graph id="G" edgedefault="{mode}">\n')
         for r in names.orderBy("id").toLocalIterator():
-            fh.write(f'    <node id="{r["name"]}"/>\n')
+            fh.write(f'    <node id="{_xml_escape(r["name"])}"/>\n')
         for r in e.toLocalIterator():
             if has_w:
-                fh.write(f'    <edge source="{r["sname"]}" '
-                         f'target="{r["tname"]}">'
+                fh.write(f'    <edge source="{_xml_escape(r["sname"])}" '
+                         f'target="{_xml_escape(r["tname"])}">'
                          f'<data key="weight">{r["weight"]!r}</data>'
                          f'</edge>\n')
             else:
-                fh.write(f'    <edge source="{r["sname"]}" '
-                         f'target="{r["tname"]}"/>\n')
+                fh.write(f'    <edge source="{_xml_escape(r["sname"])}" '
+                         f'target="{_xml_escape(r["tname"])}"/>\n')
         fh.write('  </graph>\n</graphml>\n')
 
 
@@ -201,7 +218,8 @@ def read_gml(spark: SparkSession, path: str) -> tuple[Graph, DataFrame]:
                 "doc", F.lit(r"node\s*\[([^\]]*)\]"), 1)).alias("blk"))
              .select(F.regexp_extract("blk", r"id\s+(-?\d+)", 1)
                      .cast("long").alias("gml_id"),
-                     F.regexp_extract("blk", r'label\s+"([^"]*)"', 1)
+                     _gml_unescape_col(
+                         F.regexp_extract("blk", r'label\s+"([^"]*)"', 1))
                      .alias("name")))
     nodes = nodes.select(
         "gml_id",
@@ -247,7 +265,8 @@ def write_gml(graph: Graph, names: DataFrame | None, path: str) -> None:
         fh.write("graph [\n")
         fh.write(f"  directed {1 if graph.directed else 0}\n")
         for r in names.orderBy("id").toLocalIterator():
-            fh.write(f'  node [ id {r["id"]} label "{r["name"]}" ]\n')
+            fh.write(f'  node [ id {r["id"]} '
+                     f'label "{_gml_escape(r["name"])}" ]\n')
         for r in e.toLocalIterator():
             if has_w:
                 fh.write(f'  edge [ source {r["src"]} target {r["dst"]}'
@@ -387,7 +406,11 @@ def write_pajek(graph: Graph, names: DataFrame | None, path: str) -> None:
     with open(path, "w") as fh:
         fh.write(f"*Vertices {n}\n")
         for r in names.orderBy("id").toLocalIterator():
-            fh.write(f'{r["id"] + 1} "{r["name"]}"\n')
+            # Pajek quoted labels have no escape syntax; embedded double
+            # quotes are substituted (documented lossy, keeps the file
+            # parseable by read_pajek and by Pajek itself)
+            label = str(r["name"]).replace('"', "''")
+            fh.write(f'{r["id"] + 1} "{label}"\n')
         fh.write("*Arcs\n" if graph.directed else "*Edges\n")
         for r in e.toLocalIterator():
             if has_w:
