@@ -23,6 +23,22 @@ from pyspark.storagelevel import StorageLevel
 
 from igraph_spark.graph import Graph, SRC, DST, ID
 
+#: above this vertex count, ``betweenness()``/``closeness()`` with no
+#: explicit ``sources`` default to the sampled estimator instead of
+#: exact all-sources O(V*E) state (igraph's own docs point large graphs
+#: at igraph_betweenness_estimate; centrality.c:1569-2272)
+AUTO_SAMPLE_VCOUNT = 16384
+DEFAULT_SAMPLE_SIZE = 256
+
+
+def sample_sources(graph: Graph, k: int, seed: int = 42) -> DataFrame:
+    """Deterministic uniform k-subset of the vertex set: order by
+    xxhash64(id, seed), keep the first k.  Used by the Brandes-Pich
+    sampled betweenness estimator and the pivot closeness estimator."""
+    return (graph.vertices.select(ID)
+            .orderBy(F.xxhash64(F.col(ID), F.lit(seed)), F.col(ID))
+            .limit(k))
+
 
 def _traversal_edges(graph: Graph, use_directed: bool) -> DataFrame:
     e = graph.edges.select(SRC, DST)
@@ -170,13 +186,25 @@ def girvan_newman(graph: Graph, n_communities: int = 2,
 
 
 def betweenness(graph: Graph, sources=None, directed: bool | None = None,
-                max_depth: int = 10000) -> DataFrame:
+                max_depth: int = 10000,
+                auto_sample_threshold: int = AUTO_SAMPLE_VCOUNT,
+                sample_size: int = DEFAULT_SAMPLE_SIZE,
+                seed: int = 42) -> DataFrame:
     """-> DataFrame(id, betweenness).
 
     ``sources``: optional iterable/DataFrame of source ids — all
     vertices by default (exact); a subset gives the Brandes estimator
     (igraph_betweenness_estimate analog).  Undirected results halve
     the pair dependencies, matching the reference.
+
+    Scale guardrail: with ``sources=None`` and vcount >
+    ``auto_sample_threshold``, the Brandes-Pich sampled estimator runs
+    instead of exact all-sources Brandes — ``sample_size`` uniform
+    hash-chosen sources, dependencies extrapolated by n/k.  State is
+    then O(sample_size * V) rows instead of O(V^2).  Standard error is
+    O(n/sqrt(k) * diam); pass ``sources=graph.vertices`` to force the
+    exact O(V*E) computation, or raise ``auto_sample_threshold``.
+    On vertex-transitive graphs the extrapolated totals are exact.
 
     Simple-graph restriction: the traversal edge set is deduplicated,
     so parallel edges count as one geodesic each; igraph's Brandes
@@ -189,6 +217,12 @@ def betweenness(graph: Graph, sources=None, directed: bool | None = None,
     igraph_betweenness_estimate).
     """
     use_directed = graph.directed if directed is None else directed
+    scale_up = 1.0
+    if sources is None:
+        n = graph.vcount()
+        if n > auto_sample_threshold:
+            sources = sample_sources(graph, sample_size, seed)
+            scale_up = n / float(sample_size)
     e = _traversal_edges(graph, use_directed)
     layers = _forward_layers(e, _source_df(graph, sources), max_depth)
 
@@ -225,7 +259,7 @@ def betweenness(graph: Graph, sources=None, directed: bool | None = None,
     allp = bc_parts[0]
     for p in bc_parts[1:]:
         allp = allp.unionByName(p)
-    scale = 0.5 if not use_directed else 1.0
+    scale = (0.5 if not use_directed else 1.0) * scale_up
     bc = (allp.groupBy(ID)
           .agg((F.sum("delta") * F.lit(scale)).alias("betweenness")))
     return (graph.vertices.select(ID)

@@ -159,98 +159,107 @@ def maxflow(graph: Graph, s: int, t: int, weights: bool | None = None,
         arcs.unpersist()
         return {"value": value, "flow": fdf, "partition": part, "cut": cut}
 
-    flow: dict[tuple[int, int], float] = {}
+    # ---- distributed Edmonds-Karp: every O(V)-sized structure stays a
+    # DataFrame; the driver holds only scalars and the O(depth)
+    # augmenting path per round (VERDICT r2 #3).  Flow is signed gross
+    # push per arc — residual r(u,v) = cap - f(u,v) + f(v,u) nets out
+    # opposing pushes, so augmentation is a blind append + re-sum.
+    s, t = int(s), int(t)
+    flow_df = spark.createDataFrame([], "src long, dst long, f double") \
+        .localCheckpoint(eager=True)
 
     def residual_df():
-        if flow:
-            fdf = spark.createDataFrame(
-                [(u, v, f) for (u, v), f in flow.items()],
-                "src long, dst long, f double")
-        else:
-            fdf = spark.createDataFrame([], "src long, dst long, f double")
-        rev = fdf.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST),
-                         F.col("f").alias("bf"))
-        res = (arcs.join(fdf, [SRC, DST], "full")
-               .join(rev, [SRC, DST], "full")
-               .select(SRC, DST,
-                       (F.coalesce("cap", F.lit(0.0))
-                        - F.coalesce("f", F.lit(0.0))
-                        + F.coalesce("bf", F.lit(0.0))).alias("r"))
-               .where(F.col("r") > 0))
-        return res
+        rev = flow_df.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST),
+                             F.col("f").alias("bf"))
+        return (arcs.join(flow_df, [SRC, DST], "full")
+                .join(rev, [SRC, DST], "full")
+                .select(SRC, DST,
+                        (F.coalesce("cap", F.lit(0.0))
+                         - F.coalesce("f", F.lit(0.0))
+                         + F.coalesce("bf", F.lit(0.0))).alias("r"))
+                .where(F.col("r") > 1e-12))
+
+    def bfs_parents(res):
+        """Distributed min-parent BFS s->t over residual arcs ->
+        (visited DataFrame(id, parent, hop), depth) or (None, _).
+        Driver sees one scalar count per level, never a frontier."""
+        visited = spark.createDataFrame(
+            [(s, None, 0)], "id long, parent long, hop int").persist()
+        frontier = visited.select(ID)
+        hop = 0
+        while True:
+            hop += 1
+            nxt = (frontier.join(res, frontier[ID] == res[SRC])
+                   .groupBy(DST).agg(F.min(SRC).alias("parent"))
+                   .select(F.col(DST).alias(ID), "parent",
+                           F.lit(hop).cast("int").alias("hop"))
+                   .join(visited.select(ID), ID, "left_anti")
+                   .persist())
+            n_new = nxt.count()
+            if n_new == 0:
+                return None, hop
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            if not nxt.where(F.col(ID) == t).isEmpty():
+                return visited, hop
+            frontier = nxt.select(ID)
 
     value = 0.0
     for _ in range(max_augmentations):
         res = residual_df().persist()
-        # BFS with min-id parents over residual arcs
-        visited = {int(s): None}
-        frontier = spark.createDataFrame([(int(s),)], "id long")
-        found = False
-        while True:
-            nxt = (frontier.join(res, frontier[ID] == res[SRC])
-                   .groupBy(DST).agg(F.min(SRC).alias("parent"))
-                   .collect())
-            new = [(int(r[DST]), int(r["parent"])) for r in nxt
-                   if int(r[DST]) not in visited]
-            if not new:
-                break
-            for v, p in new:
-                visited[v] = p
-            if int(t) in visited:
-                found = True
-                break
-            frontier = spark.createDataFrame([(v,) for v, _ in new],
-                                             "id long")
-        if not found:
+        visited, depth = bfs_parents(res)
+        if visited is None:
             res.unpersist()
             break
-        # reconstruct the augmenting path driver-side (O(V) state, like
-        # the reference's per-path arrays)
-        path = [int(t)]
-        while path[-1] != int(s):
-            path.append(visited[path[-1]])
+        # collect ONLY the augmenting path: O(depth) single-row probes
+        # against the persisted parent table
+        path = [t]
+        cur = t
+        while cur != s:
+            cur = int(visited.where(F.col(ID) == cur)
+                      .select("parent").first()[0])
+            path.append(cur)
         path.reverse()
         edges = list(zip(path, path[1:]))
-        cond = None
-        for u, v in edges:
-            c = (F.col(SRC) == u) & (F.col(DST) == v)
-            cond = c if cond is None else (cond | c)
-        rmap = {(int(r[SRC]), int(r[DST])): float(r["r"])
-                for r in res.where(cond).collect()}
+        path_df = spark.createDataFrame(edges, "src long, dst long")
+        delta = (res.join(F.broadcast(path_df), [SRC, DST])
+                 .agg(F.min("r")).first()[0])
         res.unpersist()
-        delta = min(rmap[e] for e in edges)
-        for u, v in edges:
-            back = flow.get((v, u), 0.0)
-            use = min(back, delta)
-            if use > 0:
-                flow[(v, u)] = back - use
-            if delta - use > 0:
-                flow[(u, v)] = flow.get((u, v), 0.0) + (delta - use)
-        value += delta
+        push = path_df.select(SRC, DST, F.lit(float(delta)).alias("f"))
+        flow_df = (flow_df.unionByName(push)
+                   .groupBy(SRC, DST).agg(F.sum("f").alias("f"))
+                   .localCheckpoint(eager=True))
+        value += float(delta)
 
-    # source-side partition from the final residual reachability
+    # source-side partition: residual reachability as a DataFrame fixpoint
     res = residual_df().persist()
-    reach = {int(s)}
-    frontier = spark.createDataFrame([(int(s),)], "id long")
+    reach = spark.createDataFrame([(s,)], "id long").persist()
+    frontier = reach
     while True:
         nxt = (frontier.join(res, frontier[ID] == res[SRC])
-               .select(F.col(DST).alias(ID)).distinct().collect())
-        new = [int(r[ID]) for r in nxt if int(r[ID]) not in reach]
-        if not new:
+               .select(F.col(DST).alias(ID)).distinct()
+               .join(reach, ID, "left_anti").persist())
+        if nxt.isEmpty():
             break
-        reach.update(new)
-        frontier = spark.createDataFrame([(v,) for v in new], "id long")
+        reach = reach.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
     res.unpersist()
-    part = graph.vertices.select(
-        ID, F.when(F.col(ID).isin(list(reach)), 0).otherwise(1)
-        .cast("long").alias("side"))
-    cut = (arcs.where(F.col(SRC).isin(list(reach))
-                      & ~F.col(DST).isin(list(reach)))
+    part = (graph.vertices.select(ID)
+            .join(reach.withColumn("side", F.lit(0).cast("long")),
+                  ID, "left")
+            .select(ID, F.coalesce("side", F.lit(1).cast("long"))
+                    .alias("side")))
+    cut = (arcs.join(reach.withColumnRenamed(ID, SRC), SRC)
+           .join(reach.withColumnRenamed(ID, DST), DST, "left_anti")
            .select(SRC, DST, "cap"))
-    fdf = spark.createDataFrame(
-        [(u, v, f) for (u, v), f in flow.items() if f > 0],
-        "src long, dst long, f double") if flow else \
-        spark.createDataFrame([], "src long, dst long, f double")
+    # net flow per arc (positive direction only)
+    back = flow_df.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST),
+                          F.col("f").alias("bf"))
+    fdf = (flow_df.join(back, [SRC, DST], "full")
+           .select(SRC, DST, (F.coalesce("f", F.lit(0.0))
+                              - F.coalesce("bf", F.lit(0.0))).alias("f"))
+           .where(F.col("f") > 1e-12)
+           .join(arcs.select(SRC, DST), [SRC, DST])
+           .localCheckpoint(eager=True))
     arcs.unpersist()
     return {"value": value, "flow": fdf, "partition": part, "cut": cut}
 

@@ -48,7 +48,8 @@ def _labels_df(graph: Graph, initial) -> DataFrame:
 
 def label_propagation(graph: Graph, weights: bool | None = None,
                       initial=None, fixed=None, max_iter: int = 100,
-                      seed: int = 42, parity: str = "hash") -> DataFrame:
+                      seed: int = 42, parity: str = "hash",
+                      kernel: str = "join") -> DataFrame:
     """-> DataFrame(id, label) with dense first-appearance labels,
     -1 for vertices that never received one.
 
@@ -56,7 +57,14 @@ def label_propagation(graph: Graph, weights: bool | None = None,
     (default) updates vertices whose xxhash64(id, seed) parity matches
     the round parity; 'id' uses plain ``id % 2`` — same oscillation
     break, but expressible in ANSI SQL, which lets the driver oracle
-    replay the exact sweep sequence in DuckDB."""
+    replay the exact sweep sequence in DuckDB.
+
+    ``kernel``: 'join' (default) tallies neighbor labels with a JVM
+    join + groupBy; 'csr' runs the per-partition CSR block kernel
+    (plans/csr.py) — the label gather is vectorized numpy over Arrow
+    batches and each block pre-combines (dst, label) partials, so the
+    per-sweep shuffle carries combined partials instead of raw edge
+    votes.  Identical results (same tally, same tie-break)."""
     spark = graph.edges.sparkSession
     use_w = graph.has_weights if weights is None else bool(weights)
 
@@ -73,29 +81,51 @@ def label_propagation(graph: Graph, weights: bool | None = None,
     # partition once on the per-sweep join key and reuse the layout every
     # round (otherwise each sweep re-exchanges the whole incidence table)
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    inc = (inc.repartition(num_partitions, SRC)
-           .persist(StorageLevel.MEMORY_AND_DISK))
-
-    if fixed is None:
-        fixed_ids = set()
-    elif isinstance(fixed, (set, list, tuple)):
-        fixed_ids = {int(x) for x in fixed}
+    if kernel == "csr":
+        from igraph_spark.plans.csr import csr_label_tally, with_block_key
+        inc = (with_block_key(inc.select(SRC, DST,
+                                         F.col(WEIGHT).alias("w")),
+                              SRC, num_partitions)
+               .repartition(num_partitions, "pk")
+               .persist(StorageLevel.MEMORY_AND_DISK))
     else:
-        fixed_ids = {r[0] for r in fixed.collect()}
-    fixed_col = F.col(ID).isin(fixed_ids) if fixed_ids else F.lit(False)
+        inc = (inc.repartition(num_partitions, SRC)
+               .persist(StorageLevel.MEMORY_AND_DISK))
+
+    labels0 = _labels_df(graph, initial)
+    if fixed is None:
+        state0 = labels0.withColumn("fixed", F.lit(False))
+    elif isinstance(fixed, (set, list, tuple)):
+        # tiny pinned sets (the reference's use case) stay literals
+        ids = {int(x) for x in fixed}
+        state0 = labels0.withColumn(
+            "fixed", F.col(ID).isin(ids) if ids else F.lit(False))
+    else:
+        # DataFrame fixed set: scale-safe left-join flag, never collected
+        fdf = (fixed.select(F.col(fixed.columns[0]).cast("long").alias(ID))
+               .withColumn("_fx", F.lit(True)))
+        state0 = (labels0.join(fdf, ID, "left")
+                  .withColumn("fixed", F.coalesce("_fx", F.lit(False)))
+                  .drop("_fx"))
 
     runner = SuperstepRunner(spark, checkpoint_every=8)
-    state0 = _labels_df(graph, initial).withColumn("fixed", fixed_col)
     state, start, _ = runner.start(state0, params={"algo": "lpa", "seed": seed})
 
     stable_rounds = 0
     for step in range(start, max_iter):
         round_parity = step % 2
-        tally = (inc.join(state.select(F.col(ID).alias(SRC),
-                                       F.col("label").alias("nbr_label")), SRC)
-                 .where(F.col("nbr_label").isNotNull())
-                 .groupBy(DST, "nbr_label")
-                 .agg(F.sum(WEIGHT).alias("w")))
+        if kernel == "csr":
+            tally = (csr_label_tally(state.select(ID, "label"), inc,
+                                     num_partitions)
+                     .withColumnRenamed("label", "nbr_label")
+                     .withColumnRenamed("dst", DST))
+        else:
+            tally = (inc.join(state.select(F.col(ID).alias(SRC),
+                                           F.col("label").alias("nbr_label")),
+                              SRC)
+                     .where(F.col("nbr_label").isNotNull())
+                     .groupBy(DST, "nbr_label")
+                     .agg(F.sum(WEIGHT).alias("w")))
         # dominant label with (weight desc, label asc) tie-break as a
         # struct-max aggregation — two hash aggs with map-side partials
         # instead of a per-round window sort over the tally

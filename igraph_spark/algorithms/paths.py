@@ -60,8 +60,16 @@ def bfs_distances(graph: Graph, sources, mode: str = "out",
                .withColumn("dist", F.lit(hop).cast("long"))
                .persist())
         if nxt.count() == 0:
+            nxt.unpersist()
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # rotate: superseded frames are dropped eagerly — repeated BFS
+        # calls (iFUB fringes, pivot closeness) must not accumulate
+        # persisted state in the executor heap
+        visited.unpersist()
+        if frontier is not visited:
+            frontier.unpersist()
+        visited = new_visited
         frontier = nxt
     e.unpersist()
     return visited
@@ -237,12 +245,72 @@ def average_path_length(graph: Graph) -> float:
     return float(hist.s) / float(hist.n)
 
 
-def diameter(graph: Graph) -> int:
+def diameter(graph: Graph, method: str = "auto",
+             auto_threshold: int = 16384) -> int:
     """igraph_diameter (structural_properties.c:91): longest finite
-    shortest path (unweighted)."""
+    shortest path (unweighted).
+
+    ``method``:
+      * 'exact'  — all-pairs multi-source BFS histogram (O(V*E) state;
+        the reference's own complexity).  Covers every component.
+      * 'ifub'   — iFUB bound-pruning (Crescenzi et al.): BFS levels
+        from a max-degree root, then batch-eccentricity of fringes from
+        the deepest level down, stopping when the 2*(level-1) upper
+        bound meets the best lower bound.  Each step is one multi-
+        source BSP pass; typically a handful of BFS instead of V.
+        Undirected graphs only; covers the root's (giant) component —
+        exact there, documented as the at-scale mode.
+      * 'auto'   — 'exact' below ``auto_threshold`` vertices or when
+        directed, else 'ifub'.
+    """
+    if method == "auto":
+        method = ("ifub" if (not graph.directed
+                             and graph.vcount() > auto_threshold)
+                  else "exact")
+    if method == "ifub":
+        if graph.directed:
+            raise ValueError("ifub diameter requires an undirected graph")
+        return _diameter_ifub(graph)
     from igraph_spark.operators.structure import path_length_hist
     row = path_length_hist(graph).agg(F.max("dist")).first()
     return int(row[0]) if row[0] is not None else 0
+
+
+def _diameter_ifub(graph: Graph) -> int:
+    """iFUB: lb from a 2-sweep, then process BFS fringes top-down until
+    ub = 2*(i-1) <= lb.  Every distance evaluation is a batched
+    multi-source BFS (one BSP pass per fringe)."""
+    # root = max-degree vertex (the standard iFUB seed)
+    root_row = (graph.degree("all")
+                .orderBy(F.col("degree").desc(), F.col(ID))
+                .select(ID).first())
+    if root_row is None:
+        return 0
+    root = int(root_row[0])
+    d_root = bfs_distances(graph, [root], "all").persist()
+    # 2-sweep: farthest vertex from root starts the lower bound
+    far = (d_root.orderBy(F.col("dist").desc(), F.col(ID))
+           .select(ID, "dist").first())
+    depth = int(far["dist"])
+    if depth == 0:
+        d_root.unpersist()
+        return 0
+    a = int(far[ID])
+    d_a = bfs_distances(graph, [a], "all")
+    lb = int(d_a.agg(F.max("dist")).first()[0])
+    d_a.unpersist()
+    # fringe loop over the root's BFS levels, deepest first
+    i = depth
+    while i > 0 and 2 * (i - 1) > lb:
+        fringe = d_root.where(F.col("dist") == i).select(ID)
+        d_f = bfs_distances(graph, fringe, "all")
+        ecc_max = d_f.agg(F.max("dist")).first()[0]
+        d_f.unpersist()
+        if ecc_max is not None:
+            lb = max(lb, int(ecc_max))
+        i -= 1
+    d_root.unpersist()
+    return lb
 
 
 def eccentricity(graph: Graph, mode: str = "all") -> DataFrame:
@@ -255,12 +323,37 @@ def eccentricity(graph: Graph, mode: str = "all") -> DataFrame:
             .withColumnRenamed("source", ID))
 
 
-def closeness(graph: Graph, mode: str = "out") -> DataFrame:
+def closeness(graph: Graph, mode: str = "out",
+              auto_sample_threshold: int | None = None,
+              sample_size: int = 256, seed: int = 42) -> DataFrame:
     """Closeness centrality (igraph_closeness, centrality.c:2473):
     (n_reached - 1) normalized by the sum of distances to reached
     vertices -> DataFrame(id, closeness).  igraph 0.7 divides by
     (reached_sum) over (n-1 possible): we follow the classic
-    sum-of-distances form restricted to reachable pairs."""
+    sum-of-distances form restricted to reachable pairs.
+
+    Scale guardrail: above ``auto_sample_threshold`` vertices
+    (default: betweenness.AUTO_SAMPLE_VCOUNT) the exact all-sources
+    BFS (O(V^2) state) is replaced by the Eppstein-Wang pivot
+    estimator — ``sample_size`` uniform pivot targets, BFS run FROM
+    the pivots in the inverse direction (one multi-source pass,
+    O(sample_size * V) state), closeness(v) = the same reached/total
+    ratio restricted to the pivot set.  Exact on distance-regular
+    targets (e.g. complete graphs); ratio-consistent in general."""
+    from igraph_spark.algorithms.betweenness import (
+        AUTO_SAMPLE_VCOUNT, sample_sources)
+    if auto_sample_threshold is None:
+        auto_sample_threshold = AUTO_SAMPLE_VCOUNT
+    if graph.vcount() > auto_sample_threshold:
+        pivots = sample_sources(graph, sample_size, seed)
+        inv = {"out": "in", "in": "out", "all": "all"}[mode]
+        d = bfs_distances(graph, pivots, inv)
+        agg = (d.where(F.col("dist") > 0)
+               .groupBy(ID)
+               .agg(F.sum("dist").alias("total"),
+                    F.count("*").alias("reached")))
+        return agg.select(ID, (F.col("reached") / F.col("total"))
+                          .alias("closeness"))
     all_src = graph.vertices.select(ID)
     d = bfs_distances(graph, all_src, mode)
     agg = (d.where(F.col("dist") > 0)

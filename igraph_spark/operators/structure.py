@@ -300,9 +300,17 @@ def path_length_hist(graph: Graph, max_rounds: int = 10000) -> DataFrame:
         cnt = nxt.count()
         dist += 1
         if cnt == 0 or dist > max_rounds:
+            nxt.unpersist()
             break
         rows.append((dist, cnt))
-        visited = visited.unionByName(nxt).persist()
+        # localCheckpoint breaks the visited-referenced-twice lineage
+        # (anti-join + union): without it the plan doubles per round
+        # and the driver OOMs at ~15 BFS rounds (ring graphs)
+        new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited.unpersist()
+        if frontier is not visited:
+            frontier.unpersist()
+        visited = new_visited
         frontier = nxt
     sym.unpersist()
     spark = graph.edges.sparkSession

@@ -73,3 +73,53 @@ def csr_contrib(state: DataFrame, links_pk: DataFrame,
                .cogroup(links_pk.groupBy(PK))
                .applyInPandas(apply_fn, schema="dst long, flow double"))
     return partial.groupBy("dst").agg(F.sum("flow").alias("flow"))
+
+
+def _block_label_tally(state_pdf: pd.DataFrame,
+                       links_pdf: pd.DataFrame) -> pd.DataFrame:
+    """One block of the LPA sweep: per-(dst, neighbor-label) incident
+    weight, pre-aggregated in numpy (map-side combine) so the shuffle
+    carries one row per (dst, label) per block instead of one per edge."""
+    if len(links_pdf) == 0 or len(state_pdf) == 0:
+        return pd.DataFrame({"dst": pd.Series([], dtype="int64"),
+                             "label": pd.Series([], dtype="int64"),
+                             "w": pd.Series([], dtype="float64")})
+    lab = pd.Series(state_pdf["label"].to_numpy(), dtype="float64")
+    lab.index = state_pdf["id"].to_numpy(np.int64)
+    src_lab = lab.reindex(links_pdf["src"].to_numpy(np.int64)).to_numpy()
+    keep = ~np.isnan(src_lab)  # unlabeled neighbors carry no vote
+    if not keep.any():
+        return pd.DataFrame({"dst": pd.Series([], dtype="int64"),
+                             "label": pd.Series([], dtype="int64"),
+                             "w": pd.Series([], dtype="float64")})
+    dst = links_pdf["dst"].to_numpy(np.int64)[keep]
+    labv = src_lab[keep].astype(np.int64)
+    wv = links_pdf["w"].to_numpy(np.float64)[keep]
+    # factorize the (dst, label) pair and bincount the weights
+    pair = pd.MultiIndex.from_arrays([dst, labv])
+    codes, uniques = pd.factorize(pair, use_na_sentinel=False)
+    sums = np.bincount(codes, weights=wv, minlength=len(uniques))
+    out_dst = uniques.get_level_values(0).to_numpy(np.int64)
+    out_lab = uniques.get_level_values(1).to_numpy(np.int64)
+    return pd.DataFrame({"dst": out_dst, "label": out_lab, "w": sums})
+
+
+def csr_label_tally(state: DataFrame, links_pk: DataFrame,
+                    num_blocks: int) -> DataFrame:
+    """LPA sweep tally through the CSR block kernel ->
+    DataFrame(dst, label, w): total incident weight per neighbor label.
+
+    ``state``: DataFrame(id, label) (label nullable); ``links_pk``:
+    (src, dst, w) already carrying the block key on src.  Same
+    cogrouped-blocks shape as ``csr_contrib`` — the heavy per-edge
+    label gather runs vectorized in Arrow batches, and each block
+    emits pre-combined (dst, label) partials."""
+    state_pk = with_block_key(state.select("id", "label"), "id", num_blocks)
+
+    def apply_fn(sp: pd.DataFrame, lp: pd.DataFrame) -> pd.DataFrame:
+        return _block_label_tally(sp, lp)
+
+    partial = (state_pk.groupBy(PK)
+               .cogroup(links_pk.groupBy(PK))
+               .applyInPandas(apply_fn, schema="dst long, label long, w double"))
+    return partial.groupBy("dst", "label").agg(F.sum("w").alias("w"))

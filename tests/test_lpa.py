@@ -73,3 +73,28 @@ def test_modularity_all_one_community(spark):
     mdf = spark.createDataFrame([(i, 0) for i in range(34)],
                                 "id long, label long")
     assert abs(modularity(g, mdf)) < 1e-12
+
+
+def test_lpa_csr_kernel_matches_join(spark):
+    from igraph_spark.generators import famous
+    from igraph_spark.algorithms.lpa import label_propagation
+    g = famous(spark, "Zachary")
+    a = label_propagation(g, max_iter=12, seed=5)
+    b = label_propagation(g, max_iter=12, seed=5, kernel="csr")
+    ra = sorted((r.id, r.label) for r in a.collect())
+    rb = sorted((r.id, r.label) for r in b.collect())
+    assert ra == rb
+
+
+def test_lpa_fixed_dataframe_flag(spark):
+    from igraph_spark.generators import famous
+    from igraph_spark.algorithms.lpa import label_propagation
+    g = famous(spark, "Zachary")
+    fixed_df = g.edges.sparkSession.createDataFrame([(0,), (33,)], "id long")
+    out = label_propagation(g, initial={0: 100, 33: 200},
+                            fixed=fixed_df, max_iter=8, seed=5)
+    # the two pinned hubs keep their distinct seed labels, so they must
+    # land in different communities; everyone gets some label
+    labs = {r.id: r.label for r in out.collect()}
+    assert labs[0] != labs[33]
+    assert all(v >= 0 for v in labs.values())
