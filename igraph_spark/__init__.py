@@ -99,6 +99,7 @@ from igraph_spark.layouts import (
 )
 from igraph_spark.algorithms.paths import (
     bfs_distances,
+    delta_stepping,
     shortest_paths,
     average_path_length,
     diameter,
@@ -150,6 +151,7 @@ __all__ = [
     "count_subisomorphisms",
     "subgraph_isomorphisms",
     "girth",
+    "delta_stepping",
     "maxflow",
     "mincut",
     "st_mincut",

@@ -118,6 +118,106 @@ def shortest_paths(graph: Graph, sources, mode: str = "out",
     return state
 
 
+def delta_stepping(graph: Graph, sources, delta: float | None = None,
+                   mode: str = "out", weights: bool | None = None,
+                   max_rounds: int = 10000,
+                   stats: dict | None = None) -> DataFrame:
+    """Delta-stepping SSSP (Meyer-Sanders; reference shortest-path
+    entry igraph_shortest_paths_dijkstra,
+    structural_properties.c:4245) -> DataFrame(source, id, dist).
+
+    Same answers as ``shortest_paths`` (Bellman-Ford) on non-negative
+    weights, but each relaxation wave touches only the ACTIVE frontier
+    x light edges instead of the full state x all edges: buckets of
+    width ``delta`` (default: mean edge weight) are settled in order —
+    light edges (w <= delta) iterate to a fixpoint inside the bucket,
+    heavy edges relax once per bucket.  At 100x scale this is the
+    weighted-SSSP workhorse; Bellman-Ford stays as the negative-weight
+    fallback and the oracle-replayable form.
+
+    ``stats`` (optional dict) receives {'rounds', 'frontier_rows'} for
+    work accounting.
+    """
+    use_w = graph.has_weights if weights is None else bool(weights)
+    if not use_w:
+        return bfs_distances(graph, sources, mode)
+    spark = graph.edges.sparkSession
+    e = _trav(graph, mode, weighted=True).persist(StorageLevel.MEMORY_AND_DISK)
+    if delta is None:
+        row = e.agg(F.avg(WEIGHT)).first()
+        delta = float(row[0]) if row and row[0] else 1.0
+        delta = max(delta, 1e-12)
+    neg = e.where(F.col(WEIGHT) < 0).isEmpty()
+    if not neg:
+        e.unpersist()
+        raise ValueError("delta_stepping requires non-negative weights; "
+                         "use shortest_paths (Bellman-Ford)")
+    light = e.where(F.col(WEIGHT) <= delta).persist(StorageLevel.MEMORY_AND_DISK)
+    heavy = e.where(F.col(WEIGHT) > delta).persist(StorageLevel.MEMORY_AND_DISK)
+
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col(sources.columns[0]).alias("source"))
+    else:
+        src_df = spark.createDataFrame([(int(s),) for s in sources],
+                                       "source long")
+    dist = src_df.select("source", F.col("source").alias(ID),
+                         F.lit(0.0).alias("dist")).localCheckpoint(eager=True)
+    bucket = F.floor(F.col("dist") / F.lit(delta))
+    rounds, frontier_rows = 0, 0
+
+    def _merge(cand):
+        """min-merge candidates into dist -> (new_dist, improved)."""
+        cmin = cand.groupBy("source", ID).agg(F.min("cand").alias("c"))
+        j = dist.join(cmin, ["source", ID], "full")
+        # least() skips nulls, so it covers all three cases (old only,
+        # cand only, both); imp marks new-or-improved rows
+        new = (j.select("source", ID,
+                        F.least(F.col("dist"), F.col("c")).alias("dist"),
+                        ((F.col("dist").isNull())
+                         | (F.col("c") < F.col("dist"))).alias("imp"))
+               .localCheckpoint(eager=True))
+        return (new.select("source", ID, "dist"),
+                new.where("imp").select("source", ID, "dist"))
+
+    b = 0
+    for _ in range(max_rounds):
+        nxt_row = (dist.where(bucket >= b).agg(F.min(bucket)).first())
+        if nxt_row[0] is None:
+            break
+        b = int(nxt_row[0])
+        active = dist.where(bucket == b).persist()
+        # light-edge fixpoint inside bucket b
+        for _inner in range(max_rounds):
+            n_act = active.count()
+            if n_act == 0:
+                active.unpersist()
+                break
+            rounds += 1
+            frontier_rows += n_act
+            cand = (active.join(light, active[ID] == light[SRC])
+                    .select("source", F.col(DST).alias(ID),
+                            (F.col("dist") + F.col(WEIGHT)).alias("cand")))
+            dist, improved = _merge(cand)
+            active.unpersist()
+            active = improved.where(bucket == b).persist()
+        # heavy edges once from the settled bucket
+        settled = dist.where(bucket == b)
+        if not heavy.isEmpty():
+            rounds += 1
+            cand = (settled.join(heavy, settled[ID] == heavy[SRC])
+                    .select("source", F.col(DST).alias(ID),
+                            (F.col("dist") + F.col(WEIGHT)).alias("cand")))
+            dist, _ = _merge(cand)
+        b += 1
+    e.unpersist()
+    light.unpersist()
+    heavy.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["frontier_rows"] = frontier_rows
+    return dist
+
+
 def _bfs_parents(graph: Graph, sources, mode: str = "out",
                  max_hops: int = 10000) -> DataFrame:
     """Multi-source BFS with deterministic min-id parent pointers ->

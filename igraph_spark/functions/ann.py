@@ -116,7 +116,8 @@ def rhp_near_dup_pairs(embeddings: DataFrame, dim: int,
                        threshold: float = 0.95,
                        planes_per_band: int = 3, n_bands: int = 24,
                        seed: int = 42, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       max_bucket: int | None = None) -> DataFrame:
     """LSH-fronted near-duplicate pairs -> (a, b, cosine), a < b.
 
     OR-amplified random-hyperplane blocking: ``n_bands`` independent
@@ -130,6 +131,9 @@ def rhp_near_dup_pairs(embeddings: DataFrame, dim: int,
     exactly that); at corpus scale the same knobs trade recall for
     candidate volume.  This is the scale path the brute-force
     ``cosine_near_dup_pairs`` is the exactness baseline for.
+
+    ``max_bucket``: optional per-(band, bucket) cap — the hot-bucket
+    skew guardrail (None = uncapped; pass ~1000-5000 at corpus scale).
     """
     planes = _hyperplanes(dim, planes_per_band * n_bands, seed)
     base = embeddings.select(F.col(id_col).alias("vec_id"),
@@ -150,6 +154,12 @@ def rhp_near_dup_pairs(embeddings: DataFrame, dim: int,
     buckets = (base.select("vec_id",
                            F.explode(F.array(*band_sigs)).alias("bk"))
                .select("vec_id", "bk.band", "bk.sig"))
+    if max_bucket is not None:
+        # skew guardrail: per-(band, sig) membership cap with per-band
+        # rotated ordering — see dedup._cap_hot_buckets for semantics
+        from igraph_spark.functions.dedup import _cap_hot_buckets
+        buckets = _cap_hot_buckets(buckets, "vec_id", "band", "sig",
+                                   max_bucket)
     cand = (buckets.alias("x").join(
                 buckets.alias("y"),
                 (F.col("x.band") == F.col("y.band"))

@@ -19,7 +19,27 @@ xxhash64(seed, i) — deterministic at any parallelism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _cap_hot_buckets(buckets: DataFrame, id_col: str, band_col: str,
+                     bucket_col: str, max_bucket: int) -> DataFrame:
+    """Skew guardrail for banded-LSH self-joins: keep at most
+    ``max_bucket`` members per (band, bucket), so a pathological bucket
+    of N near-identical items produces O(bands * max_bucket^2)
+    candidates instead of O(N^2).
+
+    Membership rotates per band (ordered by xxhash64(id, band)), so an
+    item dropped from one hot band is almost surely kept in another —
+    with b bands the chance of being dropped everywhere is
+    ((N-c)/N)^b.  Recall impact: pairs between two items BOTH dropped
+    from every shared band are lost; for dedup clustering the kept
+    members still connect the cluster transitively."""
+    w = (Window.partitionBy(band_col, bucket_col)
+         .orderBy(F.xxhash64(F.col(id_col), F.col(band_col)),
+                  F.col(id_col)))
+    return (buckets.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket).drop("_rn"))
 
 # Mersenne prime 2^31-1: keeps a*x within int64 under ANSI mode
 MERSENNE31 = (1 << 31) - 1
@@ -108,7 +128,8 @@ def minhash_signatures(docs: DataFrame, col: str = "text",
 def minhash_lsh_pairs(docs: DataFrame, col: str = "text",
                       num_hashes: int = 32, bands: int = 8,
                       shingle: int = 5, threshold: float = 0.6,
-                      seed: int = 42, hash: str = "xxhash64") -> DataFrame:
+                      seed: int = 42, hash: str = "xxhash64",
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate pairs via banded LSH -> (a, b, jaccard_est).
 
     Bands of r = num_hashes/bands rows; docs sharing any band bucket
@@ -116,6 +137,12 @@ def minhash_lsh_pairs(docs: DataFrame, col: str = "text",
     minhashes.  Pairs below ``threshold`` are dropped.  With
     hash='md5_32' both the shingle hash and the band-bucket key are
     md5-derived, so the whole pipeline is replayable in DuckDB.
+
+    ``max_bucket``: optional per-(band, bucket) membership cap (see
+    ``_cap_hot_buckets``) — the skew guardrail for corpora where a
+    hot bucket of near-identical docs would otherwise explode the
+    candidate self-join quadratically.  None (default) = uncapped
+    exact-candidate behavior; at 100 TB pass ~1000-5000.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -135,6 +162,9 @@ def minhash_lsh_pairs(docs: DataFrame, col: str = "text",
             F.struct(F.lit(bi).alias("band"), _bucket(bi).alias("bucket"))
             for bi in range(bands)])).alias("bk"))
     buckets = buckets.select("doc_id", "bk.band", "bk.bucket")
+    if max_bucket is not None:
+        buckets = _cap_hot_buckets(buckets, "doc_id", "band", "bucket",
+                                   max_bucket)
     cand = (buckets.alias("x").join(
                 buckets.alias("y"),
                 (F.col("x.band") == F.col("y.band"))

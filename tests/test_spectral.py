@@ -57,3 +57,25 @@ def test_indivisible_complete_graph(spark):
     g = full(spark, 6)
     m = leading_eigenvector_communities(g).collect()
     assert len(_partition(m)) == 1  # K6 has no positive-eigenvalue split
+
+
+def test_distributed_path_karate_bisection(spark):
+    # force the BSP power-iteration path (driver_threshold=0) and check
+    # it agrees with the reference fixture like the driver path does
+    k = famous(spark, "Zachary")
+    m = leading_eigenvector_communities(k, steps=1,
+                                        driver_threshold=0).collect()
+    want = {frozenset(i for i, l in enumerate(KARATE_SPLIT1) if l == 0),
+            frozenset(i for i, l in enumerate(KARATE_SPLIT1) if l == 1)}
+    assert _partition(m) == want
+
+
+def test_driver_full_run_fast_and_good(spark):
+    # the full (uncapped) run is now in-driver below the threshold:
+    # should land the reference's ~4 communities at Q ~ 0.39
+    k = famous(spark, "Zachary")
+    mem = leading_eigenvector_communities(k)
+    labels = mem.withColumnRenamed("label", "community")
+    assert modularity(k, labels) > 0.35
+    ncomm = mem.select("label").distinct().count()
+    assert 3 <= ncomm <= 5
