@@ -43,6 +43,7 @@ from igraph_spark.algorithms.betweenness import (
 )
 from igraph_spark.algorithms.cliques import maximal_cliques
 from igraph_spark.algorithms.louvain import multilevel_communities
+from igraph_spark.algorithms.fastgreedy import fastgreedy_communities
 from igraph_spark.algorithms.centrality import (
     eigenvector_centrality,
     hits,
@@ -69,7 +70,8 @@ from igraph_spark.algorithms.isomorphism import (
     count_subisomorphisms,
     subgraph_isomorphisms,
 )
-from igraph_spark.algorithms.paths import get_shortest_paths, girth
+from igraph_spark.algorithms.paths import (get_all_shortest_paths,
+    get_shortest_paths, girth)
 from igraph_spark.algorithms.flow import (
     all_st_mincuts,
     cohesive_blocks,
@@ -135,6 +137,7 @@ __all__ = [
     "sir",
     "leading_eigenvector_communities",
     "multilevel_communities",
+    "fastgreedy_communities",
     "eigenvector_centrality",
     "hits",
     "dyad_census",
@@ -175,6 +178,7 @@ __all__ = [
     "layout_random",
     "layout_fruchterman_reingold",
     "get_shortest_paths",
+    "get_all_shortest_paths",
     "bfs_distances",
     "shortest_paths",
     "average_path_length",

@@ -332,6 +332,85 @@ def get_shortest_paths(graph: Graph, sources, mode: str = "out",
     return done
 
 
+def get_all_shortest_paths(graph: Graph, sources, mode: str = "out",
+                           max_hops: int = 10000) -> DataFrame:
+    """igraph_get_all_shortest_paths analog
+    (/root/reference/src/structural_properties.c:870) ->
+    DataFrame(source, id, dist, path: array<long>) with ONE ROW PER
+    DISTINCT shortest path (not just a witness).
+
+    BFS keeps EVERY predecessor on some shortest path (the layered
+    shortest-path DAG); reconstruction is the same iterative prepend
+    join as ``get_shortest_paths`` but WITHOUT the min-parent
+    reduction, so a row multiplies by its head's parent count each
+    round.  Output size equals the shortest-path count — exponential
+    in the worst case (the reference has the same blowup; it is an
+    output-bound enumeration).
+    """
+    spark = graph.edges.sparkSession
+    e = (_trav(graph, mode, weighted=False).select(SRC, DST)
+         .where(F.col(SRC) != F.col(DST)).distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col(sources.columns[0]).alias("source"))
+    else:
+        src_df = spark.createDataFrame([(int(s),) for s in sources],
+                                       "source long")
+    visited = src_df.select("source", F.col("source").alias(ID),
+                            F.lit(0).cast("long").alias("dist")) \
+        .localCheckpoint(eager=True)
+    frontier = visited.select("source", ID)
+    par_parts = []
+    for hop in range(1, max_hops + 1):
+        reached = (frontier.join(e, frontier[ID] == e[SRC])
+                   .select("source", F.col(DST).alias(ID),
+                           F.col(SRC).alias("parent"))
+                   .join(visited.select("source", ID), ["source", ID],
+                         "left_anti")
+                   .localCheckpoint(eager=True))
+        nxt = reached.select("source", ID).distinct() \
+            .withColumn("dist", F.lit(hop).cast("long")) \
+            .localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        par_parts.append(reached)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("source", ID)
+    e.unpersist()
+    if not par_parts:
+        return visited.select("source", ID, "dist",
+                              F.array(F.col(ID)).alias("path"))
+    par_all = par_parts[0]
+    for p in par_parts[1:]:
+        par_all = par_all.unionByName(p)
+    par_all = par_all.select(F.col("source").alias("psrc"),
+                             F.col(ID).alias("pid"),
+                             F.col("parent").alias("pp")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    done = visited.where(F.col("dist") == 0).select(
+        "source", ID, "dist", F.array(F.col(ID)).alias("path"))
+    todo = (visited.where(F.col("dist") > 0)
+            .select("source", ID, "dist", F.col(ID).alias("head"),
+                    F.array(F.col(ID)).alias("path")))
+    for _ in range(max_hops):
+        if todo.isEmpty():
+            break
+        # expand: every parent of the current head forks the path
+        todo = (todo.join(par_all, (F.col("source") == F.col("psrc"))
+                          & (F.col("head") == F.col("pid")))
+                .select("source", ID, "dist", F.col("pp").alias("head"),
+                        F.concat(F.array(F.col("pp")), F.col("path"))
+                        .alias("path"))
+                .localCheckpoint(eager=True))
+        finished = todo.where(F.col("head") == F.col("source"))
+        done = done.unionByName(
+            finished.select("source", ID, "dist", "path"))
+        todo = todo.where(F.col("head") != F.col("source"))
+    par_all.unpersist()
+    return done
+
+
 def average_path_length(graph: Graph) -> float:
     """igraph_average_path_length (structural_properties.c:223):
     mean finite shortest-path length over ordered reachable pairs,
