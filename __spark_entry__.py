@@ -443,6 +443,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("rank").cast("long").alias("rank")))
 
     # ---------------- paths / centrality / census
+    def q_asp_counts(spark, sf):
+        # all-shortest-paths ENUMERATION, validated against the sigma
+        # DP (min-length walk counts == shortest-path counts): the
+        # per-pair count of enumerated paths must equal the unrolled
+        # sigma recurrence the oracle computes
+        from igraph_spark.algorithms.paths import get_all_shortest_paths
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            out = (get_all_shortest_paths(g, [0, 1, 2], mode="out")
+                   .groupBy("source", "id", "dist")
+                   .agg(F.count("*").alias("n_paths"))
+                   .select("source", "id",
+                           F.col("dist").cast("long").alias("dist"),
+                           F.col("n_paths").cast("long").alias("n_paths"))
+                   .localCheckpoint(eager=True))
+        return out
+
+    def q_fastgreedy_sizes(spark, sf):
+        # CNM merge order is heap-driven (data-dependent) — rows-only
+        # like louvain_sizes, with invariant pytest coverage
+        from igraph_spark.algorithms.fastgreedy import fastgreedy_communities
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            mem = fastgreedy_communities(g)
+            out = (mem.groupBy("label").agg(F.count("*").alias("size"))
+                   .orderBy("label").localCheckpoint(eager=True))
+        return out
+
     def q_bfs(spark, sf):
         from igraph_spark.algorithms.paths import bfs_distances
         g = _graph(_mod_edges(spark, sf), True)
@@ -785,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_compare": q_community_compare,
         "bfs": q_bfs,
         "shortest_paths": q_shortest_paths,
+        "all_shortest_path_counts": q_asp_counts,
+        "fastgreedy_sizes": q_fastgreedy_sizes,
         "mst": q_mst,
         # -- structural / relational --
         "degree_all": q_degree_all,
@@ -796,8 +826,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "assortativity": q_assortativity,
         "diversity": q_diversity,
-        "neighborhood2": q_neighborhood2,
-        "radius": q_radius,
         "path_length_hist": q_path_length_hist,
         "bipartite_projection": q_bipartite_projection,
         "dyad_census": q_dyad_census,
@@ -828,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_lineitem": q_agg_lineitem,
         "topk_suppliers_per_nation": q_topk_suppliers_per_nation,
         "events_daily": q_events_daily,
+        "neighborhood2": q_neighborhood2,
+        "radius": q_radius,
         "degree_out": q_degree_out,
         "dice": q_dice,
         "inv_log_weighted": q_inv_log_weighted,
@@ -1487,6 +1517,37 @@ pr AS (SELECT source, id, dist, id AS cur,
        WHERE pr.cur <> pr.source)
 SELECT source, id, CAST(dist AS BIGINT) AS dist, path
 FROM pr WHERE cur = source"""
+
+
+def _asp_counts_oracle(levels: int = 6) -> str:
+    # shortest-path COUNTS via the sigma DP: walks of minimal length
+    # are exactly the shortest paths, so sigma_k(v) = sum over in-edges
+    # of sigma_{k-1}(u), evaluated at k = dist(s, v), equals the number
+    # of distinct shortest paths the Spark side ENUMERATES.  Unrolled
+    # as one MATERIALIZED CTE per level (linear, no plan doubling).
+    parts = [f"WITH em AS MATERIALIZED ({_MOD_E_SQL}),",
+             "e AS MATERIALIZED (SELECT * FROM em WHERE src <> dst),",
+             "s AS (SELECT CAST(0 AS BIGINT) AS source"
+             " UNION ALL SELECT 1 UNION ALL SELECT 2),",
+             "l0 AS MATERIALIZED (SELECT source, source AS id,"
+             " CAST(1 AS BIGINT) AS sig FROM s)"]
+    for k in range(1, levels + 1):
+        parts.append(
+            f", l{k} AS MATERIALIZED (SELECT l{k-1}.source, e.dst AS id,"
+            f" CAST(SUM(sig) AS BIGINT) AS sig"
+            f" FROM l{k-1} JOIN e ON e.src = l{k-1}.id GROUP BY 1, 2)")
+    union = " UNION ALL ".join(
+        f"SELECT source, id, {k} AS dist, sig FROM l{k}"
+        for k in range(levels + 1))
+    parts.append(f", walks AS MATERIALIZED ({union})")
+    parts.append(", md AS (SELECT source, id, MIN(dist) AS dist"
+                 " FROM walks GROUP BY 1, 2)")
+    parts.append(
+        " SELECT w.source, w.id, CAST(w.dist AS BIGINT) AS dist,"
+        " CAST(w.sig AS BIGINT) AS n_paths"
+        " FROM walks w JOIN md ON w.source = md.source"
+        " AND w.id = md.id AND w.dist = md.dist")
+    return "\n".join(parts)
 
 
 def _articulation_oracle() -> str:
@@ -2242,6 +2303,7 @@ FROM (SELECT source, max(dist) AS ecc FROM md GROUP BY 1)""",
         "motifs3": _motifs3_oracle(),
         "motifs4": _motifs4_oracle(),
         "shortest_paths": _shortest_paths_oracle(_BFS_CAP),
+        "all_shortest_path_counts": _asp_counts_oracle(6),
         "community_compare": _community_compare_oracle(),
         "maximal_cliques": _maximal_cliques_oracle(),
         "girth": _girth_oracle(),

@@ -62,9 +62,12 @@ def label_propagation(graph: Graph, weights: bool | None = None,
     ``kernel``: 'join' (default) tallies neighbor labels with a JVM
     join + groupBy; 'csr' runs the per-partition CSR block kernel
     (plans/csr.py) — the label gather is vectorized numpy over Arrow
-    batches and each block pre-combines (dst, label) partials, so the
-    per-sweep shuffle carries combined partials instead of raw edge
-    votes.  Identical results (same tally, same tie-break)."""
+    batches and each block pre-combines (dst, label) partials.
+    Identical results (same tally, same tie-break).  Measured at 10M
+    edges / local[32]: join 30 s, csr 83 s for 6 sweeps — the Arrow
+    re-ship of the edge blocks per sweep dominates LPA's cheap
+    per-edge compute, so 'join' stays the default (csr pays off only
+    for compute-heavy kernels like weighted PageRank; see csr.py)."""
     spark = graph.edges.sparkSession
     use_w = graph.has_weights if weights is None else bool(weights)
 
