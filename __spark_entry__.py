@@ -532,6 +532,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .localCheckpoint(eager=True))
         return out
 
+    def q_motifs4_dir(spark, sf):
+        # directed induced connected 4-subgraph census (218 isoclass
+        # table; the 199 weakly-connected classes, zeros included) over
+        # a thinned part x supplier mod-60 digraph
+        from igraph_spark.algorithms.motifs import motifs4_directed
+        l = _t(spark, sf, "lineitem")
+        e = (l.where(F.col("l_orderkey") % 101 == 0)
+             .select((F.col("l_partkey") % 60).alias("src"),
+                     (F.col("l_suppkey") % 60).alias("dst"))
+             .where(F.col("src") != F.col("dst")).distinct())
+        g = _graph(e, True)
+        with _lean_conf(spark):
+            out = (motifs4_directed(g)
+                   .where(F.col("count").isNotNull())
+                   .select("isoclass",
+                           F.col("count").cast("long").alias("count"))
+                   .localCheckpoint(eager=True))
+        return out
+
     def q_articulation_points(spark, sf):
         from igraph_spark.algorithms.biconnected import articulation_points
         g = _graph(_art_edges(spark, sf), False)
@@ -832,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census": q_triad_census,
         "motifs3": q_motifs3,
         "motifs4": q_motifs4,
+        "motifs4_dir": q_motifs4_dir,
         "articulation_points": q_articulation_points,
         "biconnected_sizes": q_biconnected_sizes,
         # -- LLM-data-pipeline (dedup / ANN / text) --
@@ -839,8 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified": q_minhash_verified,
         "simhash_pairs": q_simhash_pairs,
         "ann_near_dup_lsh": q_ann_near_dup_lsh,
-        "ann_lsh_recall": q_ann_lsh_recall,
         # ------- tail: proven-green redundant variants (past gate slot 50)
+        "ann_lsh_recall": q_ann_lsh_recall,
         "minhash_pairs": q_minhash_pairs,
         "ann_cosine": q_ann_cosine,
         "ann_near_dup": q_ann_near_dup,
@@ -1460,6 +1480,50 @@ FROM ind, LATERAL (VALUES
       - 12*ind.i_k4),
   (7, ind.i_paw), (8, ind.i_c4), (9, ind.i_diamond), (10, ind.i_k4)
 ) AS iso(isoclass, cnt)
+"""
+
+
+def _motifs4_dir_oracle() -> str:
+    """Brute-force directed 4-subgraph census: enumerate every quad of
+    vertices, resolve the 12 ordered-pair bits with left joins, map
+    codes through the derived 4096-entry isoclass table (inlined as
+    VALUES — generated from the same canonical-min convention the
+    reference's topology.c tables use, independently of the Spark
+    side's spanning-tree enumeration)."""
+    from igraph_spark.algorithms.motifs import _dir4_tables, _DIR4_PAIRS
+    code2cls, _tau, conn = _dir4_tables()
+    map_vals = ",".join(f"({c},{code2cls[c]})" for c in range(4096))
+    conn_vals = ",".join(f"({i})" for i in range(218) if conn[i])
+    joins, bitsum = [], []
+    for k, (r, c) in enumerate(_DIR4_PAIRS):
+        joins.append(f"LEFT JOIN e e{k} ON e{k}.src = q.v{r + 1} "
+                     f"AND e{k}.dst = q.v{c + 1}")
+        bitsum.append(f"(CASE WHEN e{k}.src IS NOT NULL "
+                      f"THEN {1 << k} ELSE 0 END)")
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_partkey % 60 AS BIGINT) AS src,
+         CAST(l_suppkey % 60 AS BIGINT) AS dst
+  FROM lineitem
+  WHERE l_orderkey % 101 = 0 AND l_partkey % 60 <> l_suppkey % 60),
+v AS MATERIALIZED (SELECT DISTINCT x AS id FROM
+  (SELECT src AS x FROM e UNION ALL SELECT dst FROM e)),
+p2 AS MATERIALIZED (
+  SELECT a.id AS v1, b.id AS v2 FROM v a JOIN v b ON b.id > a.id),
+quad AS MATERIALIZED (
+  SELECT x.v1, x.v2, y.v1 AS v3, y.v2 AS v4
+  FROM p2 x JOIN p2 y ON y.v1 > x.v2),
+codes AS MATERIALIZED (
+  SELECT {' + '.join(bitsum)} AS code, count(*) AS cnt
+  FROM quad q {' '.join(joins)} GROUP BY 1),
+codemap(code, cls) AS (VALUES {map_vals}),
+cls_counts AS (
+  SELECT m.cls, CAST(COALESCE(SUM(c.cnt), 0) AS BIGINT) AS cnt
+  FROM codemap m LEFT JOIN codes c USING (code) GROUP BY 1),
+connected(cls) AS (VALUES {conn_vals})
+SELECT CAST(connected.cls AS BIGINT) AS isoclass,
+       CAST(COALESCE(cc.cnt, 0) AS BIGINT) AS count
+FROM connected LEFT JOIN cls_counts cc USING (cls)
 """
 
 
@@ -2302,6 +2366,7 @@ FROM (SELECT source, max(dist) AS ecc FROM md GROUP BY 1)""",
         "triad_census": _triad_census_oracle(),
         "motifs3": _motifs3_oracle(),
         "motifs4": _motifs4_oracle(),
+        "motifs4_dir": _motifs4_dir_oracle(),
         "shortest_paths": _shortest_paths_oracle(_BFS_CAP),
         "all_shortest_path_counts": _asp_counts_oracle(6),
         "community_compare": _community_compare_oracle(),

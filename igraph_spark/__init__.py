@@ -53,6 +53,7 @@ from igraph_spark.algorithms.centrality import (
     constraint,
 )
 from igraph_spark.algorithms.motifs import (
+    motifs4_directed,
     motifs4_undirected,
     motifs_randesu,
     motifs_randesu_sampled,
@@ -171,6 +172,7 @@ __all__ = [
     "is_forest",
     "laplacian",
     "maximum_bipartite_matching",
+    "motifs4_directed",
     "motifs4_undirected",
     "motifs_randesu_sampled",
     "layout_circle",

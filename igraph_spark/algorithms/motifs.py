@@ -363,3 +363,217 @@ def motifs_randesu_sampled(graph: Graph, size: int = 3,
     return spark.createDataFrame(
         [(0, None), (1, None), (2, path_est), (3, tri_est)],
         "isoclass long, count double")
+
+
+# ---------------------------------------------------------------------------
+# directed size-4 census (218 isoclasses)
+# ---------------------------------------------------------------------------
+
+#: ordered vertex pairs in the reference's bit order: the 4x4 adjacency
+#: matrix traversed column-major, first cell = least significant bit
+#: (igraph_i_isoclass_4_idx, /root/reference/src/topology.c:364 — e.g.
+#: edge (1,0) -> 2^0, (0,1) -> 2^3, (2,3) -> 2^11)
+_DIR4_PAIRS = [(r, c) for c in range(4) for r in range(4) if r != c]
+
+
+def _dir4_tables():
+    """code -> isoclass for every 12-bit directed 4-vertex adjacency
+    code, plus per-class (tau = spanning trees of the skeleton,
+    weakly_connected).  Derived, not transcribed: canonical code = MIN
+    over the 24 vertex permutations, classes numbered ascending by
+    canonical code — the numbering convention of the reference's
+    pregenerated tables (igraph_i_isoclass2_4 / igraph_isoclass,
+    topology.c:395,696), reproduced and validated against the
+    reference's directed-3 ordering (motifs.c:1062-1078) and
+    undirected-4 fixtures (igraph_motifs_randesu.out).  218 classes,
+    199 weakly connected."""
+    global _DIR4_CACHE
+    try:
+        return _DIR4_CACHE
+    except NameError:
+        pass
+    from itertools import permutations
+    pos = {p: i for i, p in enumerate(_DIR4_PAIRS)}
+    perms = [[pos[(pm[r], pm[c])] for (r, c) in _DIR4_PAIRS]
+             for pm in permutations(range(4))]
+    code2canon = []
+    for code in range(4096):
+        bits = [(code >> k) & 1 for k in range(12)]
+        best = 4096
+        for pp in perms:
+            v = 0
+            for k in range(12):
+                if bits[k]:
+                    v |= 1 << pp[k]
+            if v < best:
+                best = v
+        code2canon.append(best)
+    classes = sorted(set(code2canon))
+    assert len(classes) == 218
+    cls_of = {c: i for i, c in enumerate(classes)}
+    code2cls = [cls_of[c] for c in code2canon]
+    tau, conn = [], []
+    for c in classes:
+        und = {(min(p), max(p)) for k, p in enumerate(_DIR4_PAIRS)
+               if (c >> k) & 1}
+        nb = {i: set() for i in range(4)}
+        for i, j in und:
+            nb[i].add(j)
+            nb[j].add(i)
+        seen, stack = {0}, [0]
+        while stack:
+            v = stack.pop()
+            for w in nb[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        if len(seen) < 4:
+            conn.append(False)
+            tau.append(0)
+            continue
+        conn.append(True)
+        lap = [[0] * 4 for _ in range(4)]
+        for i, j in und:
+            lap[i][i] += 1
+            lap[j][j] += 1
+            lap[i][j] -= 1
+            lap[j][i] -= 1
+        m = [row[1:] for row in lap[1:]]
+        tau.append(m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+                   - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+                   + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]))
+    _DIR4_CACHE = (code2cls, tau, conn)
+    return _DIR4_CACHE
+
+
+def _attach_pair_flags(df: DataFrame, p: DataFrame, u: str, v: str,
+                       fu: str, fv: str) -> DataFrame:
+    """Left-join the (a<b, fab, fba) pair table onto columns u, v and
+    emit direction-resolved booleans fu = u->v, fv = v->u."""
+    pj = p.select(F.col("a").alias("__pa"), F.col("b").alias("__pb"),
+                  F.col("fab").alias("__fab"), F.col("fba").alias("__fba"))
+    lo, hi = F.least(u, v), F.greatest(u, v)
+    out = (df.join(pj, (lo == F.col("__pa")) & (hi == F.col("__pb")), "left")
+           .withColumn(fu, F.coalesce(
+               F.when(F.col(u) < F.col(v), F.col("__fab"))
+                .otherwise(F.col("__fba")), F.lit(False)))
+           .withColumn(fv, F.coalesce(
+               F.when(F.col(u) < F.col(v), F.col("__fba"))
+                .otherwise(F.col("__fab")), F.lit(False)))
+           .drop("__pa", "__pb", "__fab", "__fba"))
+    return out
+
+
+def motifs4_directed(graph: Graph) -> DataFrame:
+    """Exact induced connected 4-vertex subgraph census of a DIRECTED
+    graph -> DataFrame(isoclass 0..217, count; null for the 19
+    weakly-disconnected classes) — igraph_motifs_randesu size=4
+    directed (/root/reference/src/motifs.c:121; 218 classes per
+    igraph_subisomorphic_lad.c:95).
+
+    Spark shape: instead of the reference's per-root ESU tree walk
+    (inherently recursive), every weakly-connected 4-set is reached
+    once per labeled spanning tree of its induced skeleton.  All
+    4-vertex trees are paths or stars, so two join pipelines enumerate
+    every (set, tree) pair with no recursion; each pair's induced
+    directed subgraph is encoded as the reference's 12-bit adjacency
+    code over the sorted vertices and classified through the derived
+    4096-entry lookup, and per-class totals divide by tau(class) —
+    the skeleton spanning-tree count, constant within a class because
+    isomorphic subgraphs share a skeleton.  Work is
+    O(sum_e (d_u-1)(d_v-1) + sum_v d^3/6): the same census work as
+    ESU, the triangle kernel's hub-skew profile, zero driver loops
+    (one final <=4096-row collect)."""
+    if not graph.directed:
+        raise ValueError("directed graphs only — undirected census: "
+                         "motifs4_undirected")
+    from pyspark.storagelevel import StorageLevel
+    spark = graph.edges.sparkSession
+    p = _pair_table(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    inc = (p.select(F.col("a").alias("v"), F.col("b").alias("o"),
+                    F.col("fab").alias("f_vo"), F.col("fba").alias("f_ov"))
+           .unionByName(
+               p.select(F.col("b").alias("v"), F.col("a").alias("o"),
+                        F.col("fba").alias("f_vo"),
+                        F.col("fab").alias("f_ov")))
+           ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # stars: center v, leaves x < y < z; the 6 center-leaf flags ride
+    # the enumeration, the 3 leaf-leaf pairs left-join the pair table
+    stars = (inc.select("v", F.col("o").alias("x"),
+                        F.col("f_vo").alias("f_vx"),
+                        F.col("f_ov").alias("f_xv"))
+             .join(inc.select("v", F.col("o").alias("y"),
+                              F.col("f_vo").alias("f_vy"),
+                              F.col("f_ov").alias("f_yv")), "v")
+             .where(F.col("x") < F.col("y"))
+             .join(inc.select("v", F.col("o").alias("z"),
+                              F.col("f_vo").alias("f_vz"),
+                              F.col("f_ov").alias("f_zv")), "v")
+             .where(F.col("y") < F.col("z")))
+    stars = _attach_pair_flags(stars, p, "x", "y", "f_xy", "f_yx")
+    stars = _attach_pair_flags(stars, p, "x", "z", "f_xz", "f_zx")
+    stars = _attach_pair_flags(stars, p, "y", "z", "f_yz", "f_zy")
+    star_roles = [("v", "x", "f_vx", "f_xv"), ("v", "y", "f_vy", "f_yv"),
+                  ("v", "z", "f_vz", "f_zv"), ("x", "y", "f_xy", "f_yx"),
+                  ("x", "z", "f_xz", "f_zx"), ("y", "z", "f_yz", "f_zy")]
+    star_vs = ("v", "x", "y", "z")
+
+    # paths: a - b - c - d over skeleton edges, deduped by a < d; the
+    # 6 tree flags ride along, the 3 chord pairs left-join
+    paths = (inc.select(F.col("v").alias("a"), F.col("o").alias("b"),
+                        F.col("f_vo").alias("f_ab"),
+                        F.col("f_ov").alias("f_ba"))
+             .join(inc.select(F.col("v").alias("b"), F.col("o").alias("c"),
+                              F.col("f_vo").alias("f_bc"),
+                              F.col("f_ov").alias("f_cb")), "b")
+             .where(F.col("c") != F.col("a"))
+             .join(inc.select(F.col("v").alias("c"), F.col("o").alias("d"),
+                              F.col("f_vo").alias("f_cd"),
+                              F.col("f_ov").alias("f_dc")), "c")
+             .where((F.col("d") != F.col("b")) & (F.col("a") < F.col("d"))))
+    paths = _attach_pair_flags(paths, p, "a", "c", "f_ac", "f_ca")
+    paths = _attach_pair_flags(paths, p, "a", "d", "f_ad", "f_da")
+    paths = _attach_pair_flags(paths, p, "b", "d", "f_bd", "f_db")
+    path_roles = [("a", "b", "f_ab", "f_ba"), ("b", "c", "f_bc", "f_cb"),
+                  ("c", "d", "f_cd", "f_dc"), ("a", "c", "f_ac", "f_ca"),
+                  ("a", "d", "f_ad", "f_da"), ("b", "d", "f_bd", "f_db")]
+    path_vs = ("a", "b", "c", "d")
+
+    def coded(df: DataFrame, vs, roles) -> DataFrame:
+        srt = F.array_sort(F.array(*[F.col(c) for c in vs]))
+        keys, vals = [], []
+        for u, v, fu, fv in roles:
+            keys += [F.concat_ws("_", u, v), F.concat_ws("_", v, u)]
+            vals += [F.col(fu), F.col(fv)]
+        m = F.map_from_arrays(F.array(*keys), F.array(*vals))
+        df = df.select(srt.alias("vs"), m.alias("fm"))
+        code = F.lit(0)
+        for k, (r, c) in enumerate(_DIR4_PAIRS):
+            key = F.concat_ws("_", F.element_at("vs", r + 1),
+                              F.element_at("vs", c + 1))
+            code = code + F.when(
+                F.coalesce(F.element_at("fm", key), F.lit(False)),
+                F.lit(1 << k)).otherwise(F.lit(0))
+        return df.select(code.alias("code")).groupBy("code").count()
+
+    agg = (coded(stars, star_vs, star_roles)
+           .unionByName(coded(paths, path_vs, path_roles))
+           .groupBy("code").agg(F.sum("count").alias("count")).collect())
+    p.unpersist()
+    inc.unpersist()
+
+    code2cls, tau, conn = _dir4_tables()
+    totals = [0] * 218
+    for r in agg:
+        totals[code2cls[int(r["code"])]] += int(r["count"])
+    rows = []
+    for cls in range(218):
+        if not conn[cls]:
+            assert totals[cls] == 0
+            rows.append((cls, None))
+        else:
+            assert totals[cls] % tau[cls] == 0, \
+                f"class {cls}: {totals[cls]} not divisible by tau {tau[cls]}"
+            rows.append((cls, totals[cls] // tau[cls]))
+    return spark.createDataFrame(rows, "isoclass long, count long")
