@@ -532,6 +532,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .localCheckpoint(eager=True))
         return out
 
+    def _tree_edges(spark, sf):
+        # region/nation/customer hierarchy as one rooted tree: root 0,
+        # region = 1 + regionkey, nation = 10 + nationkey,
+        # customer = 100 + custkey
+        r = _t(spark, sf, "region").select(
+            (F.lit(1) + F.col("r_regionkey")).alias("src"),
+            F.lit(0).alias("dst"))
+        n = _t(spark, sf, "nation").select(
+            (F.lit(10) + F.col("n_nationkey")).alias("src"),
+            (F.lit(1) + F.col("n_regionkey")).alias("dst"))
+        c = _t(spark, sf, "customer").select(
+            (F.lit(100) + F.col("c_custkey")).alias("src"),
+            (F.lit(10) + F.col("c_nationkey")).alias("dst"))
+        return r.unionByName(n).unionByName(c) \
+                .select(F.col("src").cast("long"),
+                        F.col("dst").cast("long"))
+
+    def q_bfs_order(spark, sf):
+        from igraph_spark.algorithms.visitors import bfs_order
+        g = _graph(_tree_edges(spark, sf), False)
+        return bfs_order(g, 0)
+
+    def q_dfs_order(spark, sf):
+        from igraph_spark.algorithms.visitors import dfs_order
+        g = _graph(_tree_edges(spark, sf), False)
+        return dfs_order(g, 0)
+
     def q_motifs4_dir(spark, sf):
         # directed induced connected 4-subgraph census (218 isoclass
         # table; the 199 weakly-connected classes, zeros included) over
@@ -833,6 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": q_bfs,
         "shortest_paths": q_shortest_paths,
         "all_shortest_path_counts": q_asp_counts,
+        "bfs_order": q_bfs_order,
+        "dfs_order": q_dfs_order,
         "fastgreedy_sizes": q_fastgreedy_sizes,
         "mst": q_mst,
         # -- structural / relational --
@@ -842,9 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "cocitation": q_cocitation,
         "jaccard": q_jaccard,
-        "knn": q_knn,
         "assortativity": q_assortativity,
-        "diversity": q_diversity,
         "path_length_hist": q_path_length_hist,
         "bipartite_projection": q_bipartite_projection,
         "dyad_census": q_dyad_census,
@@ -882,6 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dice": q_dice,
         "inv_log_weighted": q_inv_log_weighted,
         "assortativity_nominal": q_assortativity_nominal,
+        "knn": q_knn,
+        "diversity": q_diversity,
     }
 
 
@@ -1481,6 +1510,51 @@ FROM ind, LATERAL (VALUES
   (7, ind.i_paw), (8, ind.i_c4), (9, ind.i_diamond), (10, ind.i_k4)
 ) AS iso(isoclass, cnt)
 """
+
+
+_TREE_WALK_CTES = """
+WITH RECURSIVE tedges AS (
+  SELECT CAST(1 + r_regionkey AS BIGINT) AS child,
+         CAST(0 AS BIGINT) AS parent FROM region
+  UNION ALL
+  SELECT CAST(10 + n_nationkey AS BIGINT),
+         CAST(1 + n_regionkey AS BIGINT) FROM nation
+  UNION ALL
+  SELECT CAST(100 + c_custkey AS BIGINT),
+         CAST(10 + c_nationkey AS BIGINT) FROM customer),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS id, CAST(NULL AS BIGINT) AS parent,
+         CAST(0 AS BIGINT) AS dist, lpad('0', 10, '0') AS path
+  UNION ALL
+  SELECT e.child, w.id, w.dist + 1,
+         w.path || '/' || lpad(CAST(e.child AS VARCHAR), 10, '0')
+  FROM walk w JOIN tedges e ON e.parent = w.id)"""
+
+
+def _bfs_order_oracle() -> str:
+    """BFS visit order on the hierarchy tree: rank by (dist, padded
+    root path) — on a tree the first-discoverer rule reduces to the
+    unique parent, and within a layer the queue order is (parent
+    order, id), i.e. the fixed-width path string."""
+    return _TREE_WALK_CTES + """
+SELECT CAST(row_number() OVER (ORDER BY dist, path) - 1 AS BIGINT)
+         AS "order",
+       id, parent, dist
+FROM walk"""
+
+
+def _dfs_order_oracle() -> str:
+    """DFS preorder = rank by padded path ('/' sorts below digits, so
+    a parent precedes its subtree and sibling subtrees stay
+    contiguous); postorder = the same key terminated with a
+    high-sorting sentinel so each parent lands after its subtree."""
+    return _TREE_WALK_CTES + """
+SELECT CAST(row_number() OVER (ORDER BY path) - 1 AS BIGINT)
+         AS "order",
+       id, parent,
+       CAST(row_number() OVER (ORDER BY path || '~') - 1 AS BIGINT)
+         AS order_out
+FROM walk"""
 
 
 def _motifs4_dir_oracle() -> str:
@@ -2367,6 +2441,8 @@ FROM (SELECT source, max(dist) AS ecc FROM md GROUP BY 1)""",
         "motifs3": _motifs3_oracle(),
         "motifs4": _motifs4_oracle(),
         "motifs4_dir": _motifs4_dir_oracle(),
+        "bfs_order": _bfs_order_oracle(),
+        "dfs_order": _dfs_order_oracle(),
         "shortest_paths": _shortest_paths_oracle(_BFS_CAP),
         "all_shortest_path_counts": _asp_counts_oracle(6),
         "community_compare": _community_compare_oracle(),

@@ -100,6 +100,7 @@ from igraph_spark.layouts import (
     layout_grid,
     layout_random,
 )
+from igraph_spark.algorithms.visitors import bfs_order, dfs_order
 from igraph_spark.algorithms.paths import (
     bfs_distances,
     delta_stepping,
@@ -181,6 +182,8 @@ __all__ = [
     "layout_fruchterman_reingold",
     "get_shortest_paths",
     "get_all_shortest_paths",
+    "bfs_order",
+    "dfs_order",
     "bfs_distances",
     "shortest_paths",
     "average_path_length",
