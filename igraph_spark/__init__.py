@@ -93,7 +93,8 @@ from igraph_spark.algorithms.mst import (
     minimum_spanning_tree,
 )
 from igraph_spark.operators.bipartite import maximum_bipartite_matching
-from igraph_spark.operators.structure import contract_vertices, from_adjacency
+from igraph_spark.operators.structure import (are_connected,
+    contract_vertices, from_adjacency, get_eids, with_eids)
 from igraph_spark.layouts import (
     layout_circle,
     layout_fruchterman_reingold,
@@ -151,7 +152,10 @@ __all__ = [
     "articulation_points",
     "biconnected_components",
     "compare_communities",
+    "are_connected",
     "contract_vertices",
+    "get_eids",
+    "with_eids",
     "from_adjacency",
     "count_subisomorphisms",
     "subgraph_isomorphisms",

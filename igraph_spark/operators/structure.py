@@ -434,3 +434,56 @@ def radius(graph: Graph, mode: str = "out") -> float:
     from igraph_spark.algorithms.paths import eccentricity
     row = eccentricity(graph, mode).agg(F.min("ecc")).first()
     return float(row[0]) if row and row[0] is not None else float("nan")
+
+
+def are_connected(graph: Graph, v1: int, v2: int) -> bool:
+    """igraph_are_connected (/root/reference/src/type_indexededgelist.c
+    igraph_are_connected): does the edge v1->v2 (either orientation
+    when undirected) exist?  One predicate-pushed probe scan."""
+    cond = (F.col(SRC) == v1) & (F.col(DST) == v2)
+    if not graph.directed:
+        cond = cond | ((F.col(SRC) == v2) & (F.col(DST) == v1))
+    return graph.edges.where(cond).limit(1).count() > 0
+
+
+def with_eids(graph: Graph) -> DataFrame:
+    """Edges with a dense edge id -> DataFrame(eid, src, dst, ...).
+
+    The reference's eids are edge-insertion positions
+    (type_indexededgelist.c); a DataFrame edge set has no insertion
+    order, so the canonical id here is the (src, dst) lexicographic
+    rank — assigned scalably by a range-partitioned sort plus
+    ``zipWithIndex`` (per-partition offsets, no single-partition
+    global window)."""
+    e = graph.edges
+    cols = e.columns
+    sorted_e = e.repartitionByRange(F.col(SRC), F.col(DST)) \
+                .sortWithinPartitions(SRC, DST)
+    schema = "eid long, " + ", ".join(
+        f"`{c}` {e.schema[c].dataType.simpleString()}" for c in cols)
+    indexed = sorted_e.rdd.zipWithIndex().map(
+        lambda t: (t[1], *[t[0][c] for c in cols]))
+    return graph.edges.sparkSession.createDataFrame(indexed, schema)
+
+
+def get_eids(graph: Graph, pairs: DataFrame, error: bool = True) -> DataFrame:
+    """igraph_get_eids (type_indexededgelist.c): resolve (src, dst)
+    probe pairs to edge ids -> DataFrame(src, dst, eid); eid null for
+    missing pairs when ``error=False``, otherwise missing pairs raise.
+    Undirected graphs match either orientation (the smaller eid wins
+    for duplicated probes, matching the reference's first-match)."""
+    eids = with_eids(graph).select("eid", SRC, DST)
+    probes = pairs.select(F.col(SRC).cast("long"), F.col(DST).cast("long"))
+    j = probes.join(eids, [SRC, DST], "left")
+    if not graph.directed:
+        rev = eids.select("eid", F.col(SRC).alias(DST),
+                          F.col(DST).alias(SRC))
+        j2 = probes.join(rev, [SRC, DST], "left")
+        j = j.unionByName(j2)
+    out = (j.groupBy(SRC, DST)
+           .agg(F.min("eid").alias("eid")))
+    if error and out.where(F.col("eid").isNull()).limit(1).count() > 0:
+        missing = out.where(F.col("eid").isNull()).limit(3).collect()
+        raise ValueError(f"no such edge(s): "
+                         f"{[(r[SRC], r[DST]) for r in missing]}")
+    return out
