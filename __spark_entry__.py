@@ -471,6 +471,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .orderBy("label").localCheckpoint(eager=True))
         return out
 
+    def q_walktrap_sizes(spark, sf):
+        # Pons-Latapy merge order is heap-driven (data-dependent) —
+        # rows-only like louvain_sizes, with invariant pytest coverage
+        from igraph_spark.algorithms.walktrap import walktrap_communities
+        g = _graph(_mod_edges(spark, sf), True)
+        with _lean_conf(spark):
+            mem = walktrap_communities(g)
+            out = (mem.groupBy("label").agg(F.count("*").alias("size"))
+                   .orderBy("label").localCheckpoint(eager=True))
+        return out
+
     def q_bfs(spark, sf):
         from igraph_spark.algorithms.paths import bfs_distances
         g = _graph(_mod_edges(spark, sf), True)
@@ -863,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_order": q_bfs_order,
         "dfs_order": q_dfs_order,
         "fastgreedy_sizes": q_fastgreedy_sizes,
+        "walktrap_sizes": q_walktrap_sizes,
         "mst": q_mst,
         # -- structural / relational --
         "degree_all": q_degree_all,
@@ -872,7 +884,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "jaccard": q_jaccard,
         "assortativity": q_assortativity,
-        "path_length_hist": q_path_length_hist,
         "bipartite_projection": q_bipartite_projection,
         "dyad_census": q_dyad_census,
         "triad_census": q_triad_census,
@@ -911,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity_nominal": q_assortativity_nominal,
         "knn": q_knn,
         "diversity": q_diversity,
+        "path_length_hist": q_path_length_hist,
     }
 
 

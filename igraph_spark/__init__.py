@@ -44,6 +44,7 @@ from igraph_spark.algorithms.betweenness import (
 from igraph_spark.algorithms.cliques import maximal_cliques
 from igraph_spark.algorithms.louvain import multilevel_communities
 from igraph_spark.algorithms.fastgreedy import fastgreedy_communities
+from igraph_spark.algorithms.walktrap import walktrap_communities
 from igraph_spark.algorithms.centrality import (
     eigenvector_centrality,
     hits,
@@ -141,6 +142,7 @@ __all__ = [
     "leading_eigenvector_communities",
     "multilevel_communities",
     "fastgreedy_communities",
+    "walktrap_communities",
     "eigenvector_centrality",
     "hits",
     "dyad_census",
