@@ -694,3 +694,47 @@ def islands(spark: SparkSession, islands_n: int, islands_size: int,
     e = intra.unionByName(inter)
     return Graph(e, spark.range(n).toDF("id"), directed=False,
                  _canonical=True)
+
+
+def lattice(spark: SparkSession, dims: list[int], directed: bool = False,
+            mutual: bool = False, circular: bool = False) -> Graph:
+    """igraph_lattice (structure_generators.c:743), nei=1: N-dimensional
+    rectangular lattice.  Vertex numbering is mixed-radix with the
+    FIRST dimension varying fastest (stride of dim j = product of the
+    preceding dims, matching the reference's ``weights``); ``circular``
+    wraps each dimension (skipping the duplicate wrap edge when a
+    dimension has size 2 and the graph is undirected — the reference's
+    own guard), ``mutual`` adds reverse arcs to a directed lattice.
+
+    Pure column algebra over ``spark.range(prod(dims))`` — one
+    filtered projection per dimension, no driver loops over vertices,
+    so a 10^9-vertex lattice materializes as D narrow scans."""
+    n = 1
+    for s in dims:
+        if s < 0:
+            raise ValueError("dimension sizes must be >= 0")
+        n *= int(s)
+    ids = spark.range(n)
+    parts = []
+    w = 1
+    for s in (int(x) for x in dims):
+        if s > 1:
+            coord = (F.col("id") / w).cast("long") % s
+            parts.append(ids.where(coord < s - 1).select(
+                F.col("id").alias("src"),
+                (F.col("id") + w).alias("dst")))
+            if circular and s > 2 or (circular and s == 2 and directed):
+                parts.append(ids.where(coord == s - 1).select(
+                    F.col("id").alias("src"),
+                    (F.col("id") - (s - 1) * w).alias("dst")))
+        w *= max(s, 1)
+    if not parts:
+        e = spark.createDataFrame([], "src long, dst long")
+    else:
+        e = parts[0]
+        for p in parts[1:]:
+            e = e.unionByName(p)
+    if directed and mutual:
+        e = e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    return Graph(e, spark.range(n).toDF("id"), directed=directed)
