@@ -94,6 +94,8 @@ from igraph_spark.algorithms.mst import (
     minimum_spanning_tree,
 )
 from igraph_spark.operators.bipartite import maximum_bipartite_matching
+from igraph_spark.operators.isoclass import (graph_count, isoclass,
+    isoclass_create)
 from igraph_spark.operators.structure import (are_connected,
     contract_vertices, from_adjacency, get_eids, with_eids)
 from igraph_spark.layouts import (
@@ -179,6 +181,9 @@ __all__ = [
     "is_forest",
     "laplacian",
     "maximum_bipartite_matching",
+    "graph_count",
+    "isoclass",
+    "isoclass_create",
     "motifs4_directed",
     "motifs4_undirected",
     "motifs_randesu_sampled",
