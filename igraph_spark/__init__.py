@@ -51,6 +51,9 @@ from igraph_spark.algorithms.centrality import (
     dyad_census,
     centralization,
     centralization_degree,
+    centralization_betweenness,
+    centralization_closeness,
+    centralization_eigenvector,
     constraint,
 )
 from igraph_spark.algorithms.motifs import (
@@ -96,7 +99,7 @@ from igraph_spark.algorithms.mst import (
 from igraph_spark.operators.bipartite import maximum_bipartite_matching
 from igraph_spark.operators.isoclass import (graph_count, isoclass,
     isoclass_create)
-from igraph_spark.operators.structure import (are_connected,
+from igraph_spark.operators.structure import (are_connected, assortativity_values,
     contract_vertices, from_adjacency, get_eids, with_eids)
 from igraph_spark.layouts import (
     layout_circle,
@@ -150,6 +153,10 @@ __all__ = [
     "dyad_census",
     "centralization",
     "centralization_degree",
+    "centralization_betweenness",
+    "centralization_closeness",
+    "centralization_eigenvector",
+    "assortativity_values",
     "constraint",
     "triad_census",
     "motifs_randesu",

@@ -243,3 +243,60 @@ def dyad_census(graph: Graph) -> DataFrame:
     null = n * (n - 1) // 2 - mut - asym
     return spark.createDataFrame([(mut, asym, null)],
                                  "mut long, asym long, null long")
+
+
+def centralization_betweenness(graph: Graph,
+                               normalized: bool = True) -> float:
+    """igraph_centralization_betweenness (centrality.c:3014; tmax
+    :3082 — (n-1)^2(n-2) directed, halved undirected)."""
+    from igraph_spark.algorithms.betweenness import betweenness
+    n = graph.vcount()
+    if graph.directed:
+        tmax = float((n - 1) * (n - 1) * (n - 2))
+    else:
+        tmax = (n - 1) * (n - 1) * (n - 2) / 2.0
+    scores = betweenness(graph).select("id", "betweenness")
+    return centralization(scores, tmax, normalized)
+
+
+def centralization_closeness(graph: Graph, mode: str = "out",
+                             normalized: bool = True) -> float:
+    """igraph_centralization_closeness (centrality.c:3141; tmax —
+    (n-1)(n-2)/(2n-3) for mode 'all', (n-1)(1-1/n) otherwise)."""
+    from igraph_spark.algorithms.paths import closeness
+    n = graph.vcount()
+    if not graph.directed:
+        mode = "all"
+    if mode != "all":
+        tmax = (n - 1) * (1.0 - 1.0 / n)
+    else:
+        tmax = (n - 1) * (n - 2) / (2.0 * n - 3.0)
+    scores = closeness(graph, mode=mode).select("id", "closeness")
+    return centralization(scores, tmax, normalized)
+
+
+def centralization_eigenvector(graph: Graph, scale: bool = True,
+                               normalized: bool = True) -> float:
+    """igraph_centralization_eigenvector_centrality (centrality.c;
+    tmax — n-1 directed, n-2 undirected scaled, (n-2)/sqrt(2)
+    unscaled).  Scores from the package's power iteration, scaled to
+    max 1 when ``scale`` (the reference's default)."""
+    import math
+    n = graph.vcount()
+    if graph.directed:
+        tmax = float(n - 1)
+    elif scale:
+        tmax = float(n - 2)
+    else:
+        tmax = (n - 2.0) / math.sqrt(2.0)
+    scores = eigenvector_centrality(graph)
+    col = scores.columns[-1]
+    if scale:
+        mx = scores.agg(F.max(col)).first()[0] or 1.0
+        scores = scores.select("id", (F.col(col) / F.lit(mx)).alias(col))
+    else:
+        # unit 2-norm scaling
+        nrm = scores.agg(F.sqrt(F.sum(F.col(col) * F.col(col)))).first()[0] \
+            or 1.0
+        scores = scores.select("id", (F.col(col) / F.lit(nrm)).alias(col))
+    return centralization(scores, tmax, normalized)

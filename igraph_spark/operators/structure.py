@@ -487,3 +487,25 @@ def get_eids(graph: Graph, pairs: DataFrame, error: bool = True) -> DataFrame:
         raise ValueError(f"no such edge(s): "
                          f"{[(r[SRC], r[DST]) for r in missing]}")
     return out
+
+
+def assortativity_values(graph: Graph, values: DataFrame,
+                         values_in: DataFrame | None = None) -> float:
+    """igraph_assortativity (/root/reference/src/mixing.c): Pearson
+    correlation of arbitrary vertex values over edge endpoints —
+    ``values`` DataFrame(id, value); ``values_in`` optionally supplies
+    the incoming-end values for directed graphs (the reference's
+    types2).  Undirected edges are counted in both directions.  Two
+    broadcast-able joins + one correlation aggregate."""
+    sym = (graph.edges.select(SRC, DST) if graph.directed
+           else graph.sym_edges()).where(F.col(SRC) != F.col(DST))
+    vcol = values.columns[-1]
+    v_out = values.select(F.col(ID).alias(SRC),
+                          F.col(vcol).cast("double").alias("x_s"))
+    vin = values_in if values_in is not None else values
+    vicol = vin.columns[-1]
+    v_in = vin.select(F.col(ID).alias(DST),
+                      F.col(vicol).cast("double").alias("x_d"))
+    row = (sym.join(v_out, SRC).join(v_in, DST)
+           .agg(F.corr("x_s", "x_d")).first())
+    return float(row[0]) if row[0] is not None else float("nan")
