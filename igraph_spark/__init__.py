@@ -100,7 +100,8 @@ from igraph_spark.operators.bipartite import maximum_bipartite_matching
 from igraph_spark.operators.isoclass import (graph_count, isoclass,
     isoclass_create)
 from igraph_spark.operators.structure import (are_connected, assortativity_values,
-    contract_vertices, from_adjacency, get_eids, with_eids)
+    contract_vertices, from_adjacency, get_eids, permute_vertices,
+    transitive_closure_dag, with_eids)
 from igraph_spark.layouts import (
     layout_circle,
     layout_fruchterman_reingold,
@@ -108,6 +109,8 @@ from igraph_spark.layouts import (
     layout_random,
 )
 from igraph_spark.algorithms.visitors import bfs_order, dfs_order
+from igraph_spark.algorithms.decomposition import (is_chordal,
+    maximum_cardinality_search)
 from igraph_spark.algorithms.paths import (
     bfs_distances,
     delta_stepping,
@@ -202,6 +205,10 @@ __all__ = [
     "get_all_shortest_paths",
     "bfs_order",
     "dfs_order",
+    "is_chordal",
+    "maximum_cardinality_search",
+    "permute_vertices",
+    "transitive_closure_dag",
     "bfs_distances",
     "shortest_paths",
     "average_path_length",

@@ -509,3 +509,59 @@ def assortativity_values(graph: Graph, values: DataFrame,
     row = (sym.join(v_out, SRC).join(v_in, DST)
            .agg(F.corr("x_s", "x_d")).first())
     return float(row[0]) if row[0] is not None else float("nan")
+
+
+def transitive_closure_dag(graph: Graph, max_rounds: int = 40) -> Graph:
+    """igraph_transitive_closure_dag
+    (/root/reference/src/structural_properties.c:6411): edge u->w for
+    every pair with a directed path u ~> w in a DAG.
+
+    Iterative path doubling — reach_(2k) = reach_k UNION
+    (reach_k JOIN reach_k) — so a depth-D DAG converges in ceil(log2 D)
+    keyed self-joins instead of D relational steps; every round is
+    dedup'd and localCheckpointed to keep the plan linear.  The OUTPUT
+    can be Theta(V^2) edges (the closure of a path is the full order)
+    — the same blowup as the reference's per-vertex reachability scan;
+    partition counts size to the output, not the input."""
+    from igraph_spark.operators.structure import is_dag
+    if not graph.directed:
+        raise ValueError("transitive closure is defined on directed DAGs")
+    if not is_dag(graph):
+        raise ValueError("input has a directed cycle — not a DAG")
+    reach = (graph.edges.select(SRC, DST)
+             .where(F.col(SRC) != F.col(DST)).distinct()
+             .localCheckpoint(eager=True))
+    n = reach.count()
+    for _ in range(max_rounds):
+        hop = (reach.alias("a")
+               .join(reach.alias("b"),
+                     F.col(f"a.{DST}") == F.col(f"b.{SRC}"))
+               .select(F.col(f"a.{SRC}").alias(SRC),
+                       F.col(f"b.{DST}").alias(DST)))
+        nxt = reach.unionByName(hop).distinct().localCheckpoint(eager=True)
+        n2 = nxt.count()
+        reach = nxt
+        if n2 == n:
+            break
+        n = n2
+    return Graph(reach, graph._vertices, directed=True)
+
+
+def permute_vertices(graph: Graph, mapping: DataFrame) -> Graph:
+    """igraph_permute_vertices (/root/reference/src/topology.c:3009):
+    relabel every vertex through a bijective ``mapping``
+    DataFrame(id, new_id) — two broadcast-able joins, attributes
+    preserved."""
+    new = mapping.select(F.col(ID).alias("__old"),
+                         F.col(mapping.columns[-1]).alias("__new"))
+    e = (graph.edges
+         .join(new.withColumnRenamed("__old", SRC), SRC)
+         .withColumn(SRC, F.col("__new")).drop("__new")
+         .join(new.withColumnRenamed("__old", DST), DST)
+         .withColumn(DST, F.col("__new")).drop("__new"))
+    vs = None
+    if graph._vertices is not None:
+        vs = (graph._vertices
+              .join(new.withColumnRenamed("__old", ID), ID)
+              .withColumn(ID, F.col("__new")).drop("__new"))
+    return Graph(e, vs, directed=graph.directed)
