@@ -688,6 +688,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                              hash="md5_32")
                 .select("a", "b", F.round("jaccard", 9).alias("jaccard")))
 
+    def q_dedup_clusters(spark, sf):
+        # near-dup RESOLUTION: components over the verified pair graph,
+        # cluster keyed by smallest doc_id (the keeper)
+        d = _t(spark, sf, "documents")
+        with _lean_conf(spark):
+            out = (dedup.near_dup_clusters(d, min_jaccard=0.6,
+                                           hash="md5_32")
+                   .localCheckpoint(eager=True))
+        return out
+
     # ---------------- iterative fixpoints (fixed iteration counts so the
     # DuckDB oracle can replay the exact superstep sequence by unrolling)
     def q_pagerank(spark, sf):
@@ -895,9 +905,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- LLM-data-pipeline (dedup / ANN / text) --
         "exact_duplicates": q_exact_duplicates,
         "minhash_verified": q_minhash_verified,
-        "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ann_near_dup_lsh": q_ann_near_dup_lsh,
         # ------- tail: proven-green redundant variants (past gate slot 50)
+        "simhash_pairs": q_simhash_pairs,
         "ann_lsh_recall": q_ann_lsh_recall,
         "minhash_pairs": q_minhash_pairs,
         "ann_cosine": q_ann_cosine,
@@ -2044,6 +2055,25 @@ SELECT a, b, round(jaccard, 9) AS jaccard FROM j
 WHERE jaccard >= {min_jaccard!r}"""
 
 
+def _dedup_clusters_oracle() -> str:
+    # components over the brute-force verified pair set (the
+    # minhash_verified oracle as a nested CTE), min-id canonical
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  {_minhash_verified_oracle()}
+),
+sym AS (SELECT a AS src, b AS dst FROM pairs
+        UNION SELECT b, a FROM pairs),
+v AS (SELECT DISTINCT src AS id FROM sym),
+r AS (SELECT id AS root, id AS node FROM v
+      UNION
+      SELECT r.root, s.dst FROM r JOIN sym s ON s.src = r.node),
+comp AS (SELECT root AS id, min(node) AS canonical FROM r GROUP BY 1)
+SELECT CAST(canonical AS BIGINT) AS canonical,
+       CAST(count(*) AS BIGINT) AS members
+FROM comp GROUP BY 1"""
+
+
 def _simhash_oracle(max_hamming: int = 3) -> str:
     # portable 32-bit simhash: token hash = md5 32-bit prefix; 4 x 8-bit
     # bands block candidates; exact hamming via bit_count(xor)
@@ -2430,6 +2460,7 @@ def oracle_sql() -> dict[str, str]:
                  1.0 AS recall FROM t
         """,
         "minhash_verified": _minhash_verified_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         # ---- previously rows-only, now oracled:
         # fixed-iteration fixpoints are unrolled into one MATERIALIZED
         # CTE chain per superstep; hash-seeded operators use the

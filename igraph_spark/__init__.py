@@ -111,6 +111,7 @@ from igraph_spark.layouts import (
 from igraph_spark.algorithms.visitors import bfs_order, dfs_order
 from igraph_spark.algorithms.decomposition import (is_chordal,
     maximum_cardinality_search)
+from igraph_spark.algorithms.feedback import feedback_arc_set
 from igraph_spark.algorithms.paths import (
     bfs_distances,
     delta_stepping,
@@ -205,6 +206,7 @@ __all__ = [
     "get_all_shortest_paths",
     "bfs_order",
     "dfs_order",
+    "feedback_arc_set",
     "is_chordal",
     "maximum_cardinality_search",
     "permute_vertices",

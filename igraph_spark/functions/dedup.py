@@ -317,3 +317,34 @@ def ngram_jaccard_pairs(docs: DataFrame, col: str = "text", n: int = 5,
                      / (F.col("sa") + F.col("sb") - F.col("common")))
                     .alias("jaccard"))
             .where(F.col("jaccard") >= min_jaccard))
+
+
+def near_dup_clusters(docs: DataFrame, col: str = "text",
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle: int = 5, min_jaccard: float = 0.6,
+                      seed: int = 42, hash: str = "xxhash64") -> DataFrame:
+    """Near-duplicate RESOLUTION -> DataFrame(canonical, members): the
+    step after detection a training-data pipeline actually ships —
+    connected components over the verified near-dup pair graph, each
+    cluster keyed by its smallest doc_id (the member to keep; all
+    others are the drop set).  Docs with no near-duplicate do not
+    appear (they are their own cluster).
+
+    Scale shape: the pair graph is the banded-LSH + exact-verify
+    output (no all-pairs anywhere), and the component closure is the
+    package's hash-min + pointer-jumping WCC — O(log V) rounds over
+    O(pairs) state."""
+    from igraph_spark.algorithms.components import connected_components
+    from igraph_spark.graph import Graph
+
+    pairs = minhash_verified_pairs(
+        docs, col=col, num_hashes=num_hashes, bands=bands,
+        shingle=shingle, min_jaccard=min_jaccard, seed=seed, hash=hash)
+    g = Graph(pairs.select(F.col("a").alias("src"),
+                           F.col("b").alias("dst")),
+              directed=False)
+    cc = connected_components(g)
+    canon = (cc.groupBy("component")
+             .agg(F.min("id").alias("canonical"),
+                  F.count("*").cast("long").alias("members")))
+    return canon.select("canonical", "members")
