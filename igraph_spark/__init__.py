@@ -112,6 +112,7 @@ from igraph_spark.algorithms.visitors import bfs_order, dfs_order
 from igraph_spark.algorithms.decomposition import (is_chordal,
     maximum_cardinality_search)
 from igraph_spark.algorithms.feedback import feedback_arc_set
+from igraph_spark.algorithms.games import moran_step, optimal_imitation
 from igraph_spark.algorithms.paths import (
     bfs_distances,
     delta_stepping,
@@ -207,6 +208,8 @@ __all__ = [
     "bfs_order",
     "dfs_order",
     "feedback_arc_set",
+    "moran_step",
+    "optimal_imitation",
     "is_chordal",
     "maximum_cardinality_search",
     "permute_vertices",
