@@ -72,7 +72,9 @@ from igraph_spark.algorithms.cliques import clique_number, cliques
 from igraph_spark.algorithms.epidemics import sir
 from igraph_spark.algorithms.spectral import leading_eigenvector_communities
 from igraph_spark.algorithms.isomorphism import (
+    count_automorphisms,
     count_subisomorphisms,
+    is_isomorphic,
     subgraph_isomorphisms,
 )
 from igraph_spark.algorithms.paths import (get_all_shortest_paths,
@@ -173,7 +175,9 @@ __all__ = [
     "get_eids",
     "with_eids",
     "from_adjacency",
+    "count_automorphisms",
     "count_subisomorphisms",
+    "is_isomorphic",
     "subgraph_isomorphisms",
     "girth",
     "delta_stepping",

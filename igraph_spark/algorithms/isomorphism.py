@@ -113,3 +113,59 @@ def count_subisomorphisms(graph: Graph, pattern: list[tuple[int, int]],
                           induced: bool = False) -> int:
     """igraph_count_subisomorphisms_vf2 analog."""
     return subgraph_isomorphisms(graph, pattern, directed, induced).count()
+
+
+def _as_pattern(graph: Graph, max_vertices: int):
+    """Collect a small graph into a dense-relabelled pattern edge list
+    -> (edge list over 0..k-1, k, #isolated vertices)."""
+    vids = sorted(int(r[0]) for r in graph.vertices.collect())
+    if len(vids) > max_vertices:
+        raise ValueError(
+            f"whole-graph isomorphism enumerates vertex mappings — "
+            f"gated at {max_vertices} vertices (got {len(vids)}); the "
+            "reference's bliss canonical forms are a documented "
+            "non-goal")
+    edges = {(int(r[SRC]), int(r[DST]))
+             for r in graph.edges.select(SRC, DST)
+             .where(F.col(SRC) != F.col(DST)).distinct().collect()}
+    touched = {v for e in edges for v in e}
+    isolated = [v for v in vids if v not in touched]
+    idx = {v: i for i, v in enumerate(v for v in vids if v in touched)}
+    return ([(idx[a], idx[b]) for a, b in edges], len(idx), len(isolated))
+
+
+def is_isomorphic(g1: Graph, g2: Graph,
+                  max_vertices: int = 12) -> bool:
+    """igraph_isomorphic (/root/reference/src/topology.c:819 — which
+    dispatches 3/4-vertex graphs to isoclass and larger ones to VF2):
+    exact graph isomorphism via the package's join-based VF2 analog,
+    gated at ``max_vertices`` (mapping enumeration is exponential; the
+    reference's bliss path is a documented non-goal).  Isolated
+    vertices are interchangeable and compared by count."""
+    if g1.directed != g2.directed:
+        return False
+    if g1.vcount() != g2.vcount() or g1.ecount() != g2.ecount():
+        return False
+    p, k, iso1 = _as_pattern(g1, max_vertices)
+    _, k2, iso2 = _as_pattern(g2, max_vertices)
+    if iso1 != iso2 or k != k2:
+        return False
+    if k == 0:
+        return True
+    deg = (lambda g: sorted(r["degree"] for r in g.degree().collect()))
+    if deg(g1) != deg(g2):
+        return False
+    return count_subisomorphisms(g2, p, directed=g1.directed,
+                                 induced=True) > 0
+
+
+def count_automorphisms(graph: Graph, max_vertices: int = 12) -> int:
+    """Number of automorphisms (the reference exposes this via
+    igraph_count_subisomorphisms_vf2(g, g) — e.g.
+    igraph_subisomorphic_lad.c:59): induced self-mappings, gated like
+    is_isomorphic.  Isolated vertices contribute factorial(#isolated)."""
+    import math
+    p, k, iso = _as_pattern(graph, max_vertices)
+    base = 1 if k == 0 else count_subisomorphisms(
+        graph, p, directed=graph.directed, induced=True)
+    return base * math.factorial(iso)
