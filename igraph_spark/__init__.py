@@ -45,6 +45,11 @@ from igraph_spark.algorithms.cliques import maximal_cliques
 from igraph_spark.algorithms.louvain import multilevel_communities
 from igraph_spark.algorithms.fastgreedy import fastgreedy_communities
 from igraph_spark.algorithms.walktrap import walktrap_communities
+from igraph_spark.algorithms.infomap import (
+    infomap_communities,
+    infomap_codelength,
+    map_equation,
+)
 from igraph_spark.algorithms.centrality import (
     eigenvector_centrality,
     hits,
@@ -154,6 +159,9 @@ __all__ = [
     "leading_eigenvector_communities",
     "multilevel_communities",
     "fastgreedy_communities",
+    "infomap_communities",
+    "infomap_codelength",
+    "map_equation",
     "walktrap_communities",
     "eigenvector_centrality",
     "hits",
