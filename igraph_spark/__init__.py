@@ -45,6 +45,7 @@ from igraph_spark.algorithms.cliques import maximal_cliques
 from igraph_spark.algorithms.louvain import multilevel_communities
 from igraph_spark.algorithms.fastgreedy import fastgreedy_communities
 from igraph_spark.algorithms.walktrap import walktrap_communities
+from igraph_spark.algorithms.spinglass import spinglass_communities
 from igraph_spark.algorithms.infomap import (
     infomap_communities,
     infomap_codelength,
@@ -159,6 +160,7 @@ __all__ = [
     "leading_eigenvector_communities",
     "multilevel_communities",
     "fastgreedy_communities",
+    "spinglass_communities",
     "infomap_communities",
     "infomap_codelength",
     "map_equation",
