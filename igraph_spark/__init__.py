@@ -46,6 +46,7 @@ from igraph_spark.algorithms.louvain import multilevel_communities
 from igraph_spark.algorithms.fastgreedy import fastgreedy_communities
 from igraph_spark.algorithms.walktrap import walktrap_communities
 from igraph_spark.algorithms.spinglass import spinglass_communities
+from igraph_spark.algorithms.optimal import optimal_modularity
 from igraph_spark.algorithms.infomap import (
     infomap_communities,
     infomap_codelength,
@@ -161,6 +162,7 @@ __all__ = [
     "multilevel_communities",
     "fastgreedy_communities",
     "spinglass_communities",
+    "optimal_modularity",
     "infomap_communities",
     "infomap_codelength",
     "map_equation",
