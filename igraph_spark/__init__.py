@@ -47,6 +47,10 @@ from igraph_spark.algorithms.fastgreedy import fastgreedy_communities
 from igraph_spark.algorithms.walktrap import walktrap_communities
 from igraph_spark.algorithms.spinglass import spinglass_communities
 from igraph_spark.algorithms.optimal import optimal_modularity
+from igraph_spark.algorithms.embedding import (
+    adjacency_spectral_embedding,
+    laplacian_spectral_embedding,
+)
 from igraph_spark.algorithms.infomap import (
     infomap_communities,
     infomap_codelength,
@@ -163,6 +167,8 @@ __all__ = [
     "fastgreedy_communities",
     "spinglass_communities",
     "optimal_modularity",
+    "adjacency_spectral_embedding",
+    "laplacian_spectral_embedding",
     "infomap_communities",
     "infomap_codelength",
     "map_equation",
