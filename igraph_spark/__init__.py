@@ -119,7 +119,9 @@ from igraph_spark.layouts import (
     layout_circle,
     layout_fruchterman_reingold,
     layout_grid,
+    layout_kamada_kawai,
     layout_random,
+    layout_sugiyama,
 )
 from igraph_spark.algorithms.visitors import bfs_order, dfs_order
 from igraph_spark.algorithms.decomposition import (is_chordal,
@@ -225,6 +227,8 @@ __all__ = [
     "layout_grid",
     "layout_random",
     "layout_fruchterman_reingold",
+    "layout_kamada_kawai",
+    "layout_sugiyama",
     "get_shortest_paths",
     "get_all_shortest_paths",
     "bfs_order",

@@ -117,3 +117,206 @@ def layout_fruchterman_reingold(graph: Graph, iterations: int = 50,
         new.count()
         pos = runner.advance(it, new)
     return pos
+
+
+def layout_kamada_kawai(graph: Graph, iterations: int = 200,
+                        vertex_threshold: int = 3000,
+                        seed: int = 42) -> DataFrame:
+    """igraph_layout_kamada_kawai (/root/reference/src/layout_kk.c:72)
+    -> DataFrame(id, x, y).
+
+    Minimizes the same stress objective as the reference —
+    ``sum_{i<j} (|p_i - p_j| - d_ij)^2 / d_ij^2`` over all-pairs graph
+    distances d — but by SMACOF stress majorization (guaranteed
+    monotone descent, deterministic) instead of the reference's
+    gradient loop.  All-pairs distances are dense O(n^2) state BY
+    DEFINITION of the objective, so this is a driver-core layout like
+    the reference itself (``vertex_threshold`` guards it); a layout is
+    collected for rendering anyway.  Disconnected pairs get
+    2 x the finite diameter (finite proxy, keeps components apart)."""
+    import numpy as np
+
+    spark = graph.edges.sparkSession
+    vids = sorted(int(r[0]) for r in graph.vertices.select(ID).collect())
+    n = len(vids)
+    if n > vertex_threshold:
+        raise ValueError(
+            f"kamada-kawai is an all-pairs layout: {n} vertices > "
+            f"vertex_threshold={vertex_threshold}; use "
+            "layout_fruchterman_reingold at scale")
+    if n == 0:
+        return spark.createDataFrame([], f"{ID} long, x double, y double")
+    idx = {v: i for i, v in enumerate(vids)}
+    und = (graph.edges.select(SRC, DST).collect())
+    adj = [[] for _ in range(n)]
+    for r in und:
+        u, v = idx[int(r[SRC])], idx[int(r[DST])]
+        if u != v:
+            adj[u].append(v)
+            adj[v].append(u)
+    # BFS all-pairs
+    INF = float("inf")
+    D = np.full((n, n), INF)
+    for s in range(n):
+        D[s, s] = 0.0
+        frontier = [s]
+        dist = 0
+        seen = {s}
+        while frontier:
+            dist += 1
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in seen:
+                        seen.add(w)
+                        D[s, w] = dist
+                        nxt.append(w)
+            frontier = nxt
+    finite = D[np.isfinite(D)]
+    dmax = float(finite.max()) if finite.size else 1.0
+    D[~np.isfinite(D)] = 2.0 * max(dmax, 1.0)
+    np.fill_diagonal(D, 0.0)
+
+    # deterministic start on a circle + hash jitter
+    ang = 2.0 * math.pi * np.arange(n) / max(n, 1)
+    P = np.stack([np.cos(ang), np.sin(ang)], axis=1) * max(dmax, 1.0) / 2
+    rng = np.random.default_rng(seed)
+    P += rng.standard_normal((n, 2)) * 1e-3
+
+    W = np.zeros((n, n))
+    nz = D > 0
+    W[nz] = 1.0 / (D[nz] ** 2)
+    # Guttman transform: X <- V+ B(X) X with V = diag(row sums) - W;
+    # V+ = (V + J/n)^-1 - J/n (J = all-ones) handles the constant
+    # nullspace exactly.  One n x n inverse, computed once.
+    V = np.diag(W.sum(axis=1)) - W
+    J = np.full((n, n), 1.0 / n)
+    Vp = np.linalg.inv(V + J) - J if n > 1 else np.ones((1, 1))
+    for _ in range(iterations):
+        diff = P[:, None, :] - P[None, :, :]
+        dist = np.sqrt((diff ** 2).sum(-1))
+        np.fill_diagonal(dist, 1.0)
+        B = -W * D / np.maximum(dist, 1e-12)
+        np.fill_diagonal(B, 0.0)
+        np.fill_diagonal(B, -B.sum(axis=1))
+        P = Vp @ (B @ P)
+    rows = [(vids[i], float(P[i, 0]), float(P[i, 1])) for i in range(n)]
+    return spark.createDataFrame(rows, f"{ID} long, x double, y double")
+
+
+def layout_sugiyama(graph: Graph, layers: DataFrame | None = None,
+                    hgap: float = 1.0, vgap: float = 1.0,
+                    maxiter: int = 100) -> DataFrame:
+    """igraph_layout_sugiyama (/root/reference/src/sugiyama.c:305)
+    -> DataFrame(id, x, y, layer) for the ORIGINAL vertices (dummy
+    bend vertices are internal here; the reference returns them too).
+
+    Stages, as in the reference: (1) cycles broken by reversing the
+    package feedback_arc_set arcs; (2) layer = longest-path depth
+    (BSP max-propagation, rounds = DAG depth); (3) edges spanning
+    multiple layers get dummy vertices; (4) ``maxiter`` barycenter
+    ordering sweeps (mean neighbor rank in the layer above, then
+    re-rank — a groupBy + window per sweep); (5) x = centered rank *
+    hgap, y = layer * vgap.  Every stage is column algebra, so layer
+    assignment and ordering scale; sweeps are a fixed driver loop."""
+    spark = graph.edges.sparkSession
+    e = graph.edges.select(SRC, DST).where(F.col(SRC) != F.col(DST))
+    if graph.directed:
+        from igraph_spark.algorithms.feedback import feedback_arc_set
+        fas = feedback_arc_set(graph).select(
+            SRC, DST, F.lit(True).alias("rev"))
+        e = (e.join(fas, [SRC, DST], "left")
+             .select(F.when(F.col("rev"), F.col(DST)).otherwise(F.col(SRC))
+                     .alias(SRC),
+                     F.when(F.col("rev"), F.col(SRC)).otherwise(F.col(DST))
+                     .alias(DST)))
+    else:
+        # undirected: orient low -> high id (acyclic by construction)
+        e = e.select(F.least(SRC, DST).alias(SRC),
+                     F.greatest(SRC, DST).alias(DST))
+    e = e.distinct().persist()
+
+    # ---- longest-path layering (BSP fixpoint over a DAG)
+    layer = (layers.select(ID, F.col(layers.columns[1]).alias("layer"))
+             if layers is not None else None)
+    if layer is None:
+        layer = graph.vertices.select(ID, F.lit(0).alias("layer"))
+        for _ in range(64):                 # depth cap; DAG depth rounds
+            prop = (e.join(layer.select(F.col(ID).alias(SRC),
+                                        F.col("layer").alias("pl")), SRC)
+                    .groupBy(F.col(DST).alias(ID))
+                    .agg((F.max("pl") + 1).alias("nl")))
+            new = (layer.join(prop, ID, "left")
+                   .select(ID, F.greatest(
+                       "layer", F.coalesce("nl", F.lit(0))).alias("layer")))
+            new = new.localCheckpoint(eager=False)
+            changed = (new.join(layer.withColumnRenamed("layer", "ol"), ID)
+                       .where(F.col("layer") != F.col("ol")).count())
+            layer = new
+            if changed == 0:
+                break
+
+    # ---- dummy vertices on long edges: edge (u,v) spanning k>1 layers
+    # becomes a chain u -> d1 -> ... -> d{k-1} -> v
+    le = (e.join(layer.select(F.col(ID).alias(SRC),
+                              F.col("layer").alias("ls")), SRC)
+          .join(layer.select(F.col(ID).alias(DST),
+                             F.col("layer").alias("ld")), DST))
+    # unique negative ids for dummies: hash of (src,dst,step)
+    chain = (le.where(F.col("ld") - F.col("ls") > 1)
+             .select(SRC, DST, "ls", "ld",
+                     F.explode(F.sequence(F.lit(1),
+                                          F.col("ld") - F.col("ls") - 1))
+                     .alias("step")))
+    dummy = chain.select(
+        (-F.abs(F.xxhash64(SRC, DST, "step"))).alias(ID),
+        (F.col("ls") + F.col("step")).alias("layer"))
+    seg_mid = chain.select(
+        F.when(F.col("step") == 1, F.col(SRC))
+        .otherwise(-F.abs(F.xxhash64(SRC, DST, F.col("step") - 1)))
+        .alias(SRC),
+        (-F.abs(F.xxhash64(SRC, DST, "step"))).alias(DST))
+    seg_last = (le.where(F.col("ld") - F.col("ls") > 1)
+                .select((-F.abs(F.xxhash64(
+                    SRC, DST, F.col("ld") - F.col("ls") - 1)))
+                    .alias(SRC), F.col(DST)))
+    short = (le.where(F.col("ld") - F.col("ls") <= 1)
+             .select(SRC, DST))
+    ext_e = short.unionByName(seg_mid).unionByName(seg_last).persist()
+    ext_v = (layer.unionByName(dummy)
+             .groupBy(ID).agg(F.max("layer").alias("layer")).persist())
+
+    # ---- barycenter crossing-minimization sweeps
+    w = Window.partitionBy("layer").orderBy("pos", ID)
+    order = ext_v.select(ID, "layer",
+                         F.col(ID).cast("double").alias("pos"))
+    order = order.select(ID, "layer",
+                         F.row_number().over(w).cast("double").alias("pos"))
+    down = ext_e.select(F.col(SRC).alias("nb"), F.col(DST).alias(ID))
+    up = ext_e.select(F.col(DST).alias("nb"), F.col(SRC).alias(ID))
+    sweeps = min(maxiter, 20)
+    for it in range(sweeps):
+        nbrs = down if it % 2 == 0 else up
+        bary = (nbrs.join(order.select(F.col(ID).alias("nb"),
+                                       F.col("pos").alias("np")), "nb")
+                .groupBy(ID).agg(F.avg("np").alias("bary")))
+        order = (order.join(bary, ID, "left")
+                 .select(ID, "layer",
+                         F.coalesce("bary", "pos").alias("pos")))
+        order = order.select(
+            ID, "layer",
+            F.row_number().over(w).cast("double").alias("pos"))
+        order = order.localCheckpoint(eager=False)
+
+    cnt = order.groupBy("layer").agg(F.count("*").alias("cnt"))
+    out = (order.join(cnt, "layer")
+           .where(F.col(ID) >= 0)
+           .select(ID,
+                   ((F.col("pos") - 1 - (F.col("cnt") - 1) / 2.0)
+                    * hgap).alias("x"),
+                   (F.col("layer") * vgap).cast("double").alias("y"),
+                   F.col("layer").cast("long").alias("layer")))
+    e.unpersist()
+    ext_e.unpersist()
+    ext_v.unpersist()
+    return out

@@ -43,3 +43,108 @@ def test_fr_separates_disconnected_cliques(spark):
              + dist(3, 4) + dist(4, 5) + dist(3, 5)) / 6
     inter = sum(dist(a, b) for a in (0, 1, 2) for b in (3, 4, 5)) / 9
     assert inter > 1.5 * intra, (intra, inter)
+
+
+# ---------------------------------------------------------------- KK
+
+
+def test_kk_triangle_is_equilateral(spark):
+    from igraph_spark.layouts import layout_kamada_kawai
+    e = [(0, 1), (1, 2), (2, 0)]
+    g = Graph(spark.createDataFrame(e, "src long, dst long"),
+              directed=False)
+    pos = {r["id"]: (r["x"], r["y"])
+           for r in layout_kamada_kawai(g).collect()}
+    import math
+    d = []
+    for a, b in e:
+        (xa, ya), (xb, yb) = pos[a], pos[b]
+        d.append(math.hypot(xa - xb, ya - yb))
+    # stress 0 is achievable: all sides == graph distance 1
+    for x in d:
+        assert abs(x - 1.0) < 1e-6
+
+
+def test_kk_deterministic_and_separates_components(spark):
+    from igraph_spark.layouts import layout_kamada_kawai
+    e = [(0, 1), (1, 2), (3, 4)]
+    g = Graph(spark.createDataFrame(e, "src long, dst long"),
+              directed=False)
+    p1 = sorted(layout_kamada_kawai(g).collect())
+    p2 = sorted(layout_kamada_kawai(g).collect())
+    assert p1 == p2
+    pos = {r["id"]: (r["x"], r["y"]) for r in p1}
+    import math
+    # the two components end up farther apart than any intra distance
+    intra = math.hypot(pos[0][0] - pos[1][0], pos[0][1] - pos[1][1])
+    inter = math.hypot(pos[0][0] - pos[3][0], pos[0][1] - pos[3][1])
+    assert inter > intra
+
+
+def test_kk_threshold_guard(spark):
+    from igraph_spark.layouts import layout_kamada_kawai
+    import pytest
+    e = [(i, i + 1) for i in range(10)]
+    g = Graph(spark.createDataFrame(e, "src long, dst long"),
+              directed=False)
+    with pytest.raises(ValueError):
+        layout_kamada_kawai(g, vertex_threshold=5)
+
+
+# ----------------------------------------------------------- sugiyama
+
+
+def test_sugiyama_path_layers(spark):
+    from igraph_spark.layouts import layout_sugiyama
+    e = [(0, 1), (1, 2), (2, 3)]
+    g = Graph(spark.createDataFrame(e, "src long, dst long"),
+              directed=True)
+    rows = {r["id"]: r for r in layout_sugiyama(g).collect()}
+    assert [rows[i]["layer"] for i in range(4)] == [0, 1, 2, 3]
+    assert [rows[i]["y"] for i in range(4)] == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_sugiyama_longest_path_and_dummies(spark):
+    from igraph_spark.layouts import layout_sugiyama
+    # diamond with a long edge 0->3: layer(3) must be 2 (longest path)
+    e = [(0, 1), (1, 3), (0, 3), (0, 2), (2, 3)]
+    g = Graph(spark.createDataFrame(e, "src long, dst long"),
+              directed=True)
+    rows = {r["id"]: r for r in layout_sugiyama(g).collect()}
+    assert rows[0]["layer"] == 0
+    assert rows[1]["layer"] == 1 and rows[2]["layer"] == 1
+    assert rows[3]["layer"] == 2
+    assert len(rows) == 4          # dummies not in the output
+
+
+def test_sugiyama_same_layer_distinct_x(spark):
+    from igraph_spark.layouts import layout_sugiyama
+    e = [(0, i) for i in range(1, 6)]
+    g = Graph(spark.createDataFrame(e, "src long, dst long"),
+              directed=True)
+    rows = layout_sugiyama(g).collect()
+    xs = [r["x"] for r in rows if r["layer"] == 1]
+    assert len(xs) == len(set(xs)) == 5
+    # centered around the root
+    assert abs(sum(xs)) < 1e-9
+
+
+def test_sugiyama_cycle_breaks(spark):
+    from igraph_spark.layouts import layout_sugiyama
+    e = [(0, 1), (1, 2), (2, 0)]
+    g = Graph(spark.createDataFrame(e, "src long, dst long"),
+              directed=True)
+    rows = layout_sugiyama(g).collect()
+    assert len(rows) == 3
+    assert len({r["layer"] for r in rows}) == 3   # a 3-chain after FAS
+
+
+def test_sugiyama_explicit_layers(spark):
+    from igraph_spark.layouts import layout_sugiyama
+    e = [(0, 1), (1, 2)]
+    g = Graph(spark.createDataFrame(e, "src long, dst long"),
+              directed=True)
+    lay = spark.createDataFrame([(0, 0), (1, 5), (2, 6)],
+                                "id long, layer long")
+    rows = {r["id"]: r for r in layout_sugiyama(g, layers=lay).collect()}
+    assert rows[1]["layer"] == 5 and rows[1]["y"] == 5.0
