@@ -10,6 +10,7 @@ any partitioning/parallelism (no RNG state, unlike igraph's MT19937).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
 from igraph_spark.graph import Graph
@@ -738,3 +739,112 @@ def lattice(spark: SparkSession, dims: list[int], directed: bool = False,
         e = e.unionByName(e.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
     return Graph(e, spark.range(n).toDF("id"), directed=directed)
+
+
+# --------------------------------------------------- latent-vector samplers
+# Reference /root/reference/src/dotproduct.c:120-276.  Columns, not an
+# igraph_matrix_t: one row per sample -> DataFrame(id, vec array<double>).
+# Gaussians come from hash-uniform pairs via Box-Muller, so every sampler
+# is deterministic at any parallelism.
+
+def _normal_cols(idc: F.Column, seed: int, dim: int) -> list:
+    """dim iid N(0,1) columns keyed on (seed, id) via Box-Muller."""
+    import math
+    out = []
+    for j in range(0, dim, 2):
+        u1 = _u01(idc, seed, 100 + j)
+        u2 = _u01(idc, seed, 101 + j)
+        # keep u1 away from 0 so log() is finite
+        u1 = F.greatest(u1, F.lit(1e-300))
+        r = F.sqrt(-2.0 * F.log(u1))
+        out.append(r * F.cos(F.lit(2.0 * math.pi) * u2))
+        if j + 1 < dim:
+            out.append(r * F.sin(F.lit(2.0 * math.pi) * u2))
+    return out[:dim]
+
+
+def sample_sphere_surface(spark: SparkSession, dim: int, n: int,
+                          radius: float = 1.0, positive: bool = False,
+                          seed: int = 42) -> "DataFrame":
+    """igraph_sample_sphere_surface (dotproduct.c:132): n points uniform
+    on the dim-sphere surface (normalized Gaussians) ->
+    DataFrame(id, vec).  Fully columnar; O(n*dim) with no shuffle."""
+    if dim < 2:
+        raise ValueError("sphere must be at least two dimensional")
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    g = _normal_cols(F.col("id"), seed, dim)
+    norm = F.sqrt(sum((c * c for c in g[1:]), g[0] * g[0]))
+    comps = [F.lit(radius) * c / norm for c in g]
+    if positive:
+        comps = [F.abs(c) for c in comps]
+    return spark.range(n).select("id", F.array(*comps).alias("vec"))
+
+
+def sample_sphere_volume(spark: SparkSession, dim: int, n: int,
+                         radius: float = 1.0, positive: bool = False,
+                         seed: int = 42) -> "DataFrame":
+    """igraph_sample_sphere_volume (dotproduct.c:199): surface sample
+    scaled by U^(1/dim)."""
+    surf = sample_sphere_surface(spark, dim, n, radius, positive, seed)
+    u = F.pow(_u01(F.col("id"), seed, 999), 1.0 / dim)
+    return surf.select(
+        "id", F.transform("vec", lambda c: c * u).alias("vec"))
+
+
+def sample_dirichlet(spark: SparkSession, n: int, alpha: list,
+                     seed: int = 42) -> "DataFrame":
+    """igraph_sample_dirichlet (dotproduct.c:222): normalized Gamma(a_j)
+    draws.  Gamma via Marsaglia-Tsang in a vectorized Arrow batch UDF
+    (numpy, no per-row Python objects); each row's generator is keyed on
+    (seed, id) so the sample is independent of partitioning."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    alpha = [float(a) for a in alpha]
+    if len(alpha) < 2:
+        raise ValueError("alpha must have at least two entries")
+    if min(alpha) <= 0:
+        raise ValueError("alpha entries must be positive")
+    alph = np.asarray(alpha)
+
+    @pandas_udf("array<double>")
+    def _dir(ids: pd.Series) -> pd.Series:
+        rows = []
+        for i in ids.to_numpy():
+            rng = np.random.Generator(np.random.PCG64(
+                (int(i) * 1000003 + seed) & 0x7FFFFFFFFFFFFFFF))
+            g = rng.gamma(alph)
+            rows.append((g / g.sum()).tolist())
+        return pd.Series(rows)
+
+    return spark.range(n).select("id", _dir("id").alias("vec"))
+
+
+def dot_product_game(vecs: "DataFrame", directed: bool = False,
+                     seed: int = 42) -> Graph:
+    """igraph_dot_product_game (/root/reference/src/dotproduct.c:60):
+    vertices carry latent vectors; P(edge i->j) = <v_i, v_j>, clamped to
+    [0,1] (reference: prob>1 always adds the edge, prob<0 never).
+
+    ``vecs`` is DataFrame(id, vec array<double>) — one row per vertex
+    (e.g. from sample_sphere_volume / sample_dirichlet).  The O(n^2)
+    candidate cross-join matches the reference's own complexity; at
+    scale, pre-bucket by an LSH of the latent vector and join buckets
+    (the rhp machinery in functions/ann.py) instead of the full cross.
+    Deterministic: the coin for pair (i,j) is xxhash64(seed, i, j)."""
+    a = vecs.select(F.col("id").alias("src"), F.col("vec").alias("va"))
+    b = vecs.select(F.col("id").alias("dst"), F.col("vec").alias("vb"))
+    pairs = a.crossJoin(b).where(
+        F.col("src") != F.col("dst") if directed
+        else F.col("src") < F.col("dst"))
+    prob = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    h = F.xxhash64(F.col("src"), F.col("dst"), F.lit(seed))
+    u = (h.cast("double") / F.lit(2.0 ** 64)) + F.lit(0.5)
+    e = (pairs.withColumn("p", prob)
+         .where((F.col("p") >= 1.0) | (u < F.col("p")))
+         .select("src", "dst"))
+    return Graph(e, vecs.select("id"), directed=directed,
+                 _canonical=not directed)
