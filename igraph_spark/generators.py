@@ -848,3 +848,87 @@ def dot_product_game(vecs: "DataFrame", directed: bool = False,
          .select("src", "dst"))
     return Graph(e, vecs.select("id"), directed=directed,
                  _canonical=not directed)
+
+
+def forest_fire_game(spark: SparkSession, nodes: int, fw_prob: float,
+                     bw_factor: float = 1.0, ambs: int = 1,
+                     directed: bool = True, seed: int = 42,
+                     max_driver_nodes: int = 200_000) -> Graph:
+    """Forest fire model (/root/reference/src/forestfire.c:106,
+    Leskovec-Kleinberg-Faloutsos corrected version): vertex t picks
+    ``ambs`` uniform ambassadors among 0..t-1 and recursively burns
+    Geometric(1-p) outgoing / Geometric(1-r*p) incoming unvisited
+    neighbors of each burned vertex.
+
+    Growth is SEQUENTIAL BY DEFINITION — vertex t's burn depends on the
+    full graph built by vertices < t — so like the reference this runs
+    as a driver core (guarded by ``max_driver_nodes``); there is no
+    semantics-preserving distributed formulation.  Randomness is a
+    per-vertex PCG64 keyed on (seed, t): the sample is independent of
+    Spark parallelism and reproducible.  The RESULT is returned as a
+    distributed edge DataFrame for downstream analytics at any scale.
+    """
+    import numpy as np
+
+    if fw_prob < 0 or bw_factor < 0 or ambs < 0:
+        raise ValueError("fw_prob, bw_factor and ambs must be non-negative")
+    if nodes > max_driver_nodes:
+        raise ValueError(
+            f"forest fire is a sequential growth model: {nodes} nodes > "
+            f"max_driver_nodes={max_driver_nodes}")
+    verts = spark.range(nodes).toDF("id")
+    if fw_prob == 0 or ambs == 0 or nodes <= 1:
+        e = spark.createDataFrame([], "src long, dst long")
+        return Graph(e, verts, directed=directed, _canonical=True)
+
+    p_out = 1.0 - fw_prob                  # RNG_GEOM(1-p): mean p/(1-p)
+    p_in = 1.0 - fw_prob * bw_factor
+    outneis = [[] for _ in range(nodes)]
+    inneis = [[] for _ in range(nodes)]
+    visited = np.zeros(nodes, dtype=np.int64)
+    edges = []
+    for t in range(1, nodes):
+        rng = np.random.Generator(np.random.PCG64(
+            (t * 2654435761 + seed) & 0x7FFFFFFFFFFFFFFF))
+        visited[t] = t + 1
+        queue = []
+
+        def burn(nei):
+            if visited[nei] != t + 1:
+                visited[nei] = t + 1
+                queue.append(nei)
+                edges.append((t, nei))
+                outneis[t].append(nei)
+                inneis[nei].append(t)
+
+        for _ in range(ambs):
+            burn(int(rng.integers(0, t)))
+        qi = 0
+        while qi < len(queue):
+            amb = queue[qi]
+            qi += 1
+            outs, ins = outneis[amb], inneis[amb]
+            # numpy geometric counts failures+1; igraph's RNG_GEOM(q)
+            # counts failures before first success with success prob q
+            neis_out = int(rng.geometric(p_out)) - 1 if p_out < 1 else 0
+            neis_in = int(rng.geometric(p_in)) - 1 if p_in < 1 else 0
+            for neis, pool in ((neis_out, outs), (neis_in, ins)):
+                if neis >= len(pool):
+                    for nei in list(pool):
+                        burn(nei)
+                else:
+                    left = len(pool)
+                    got = 0
+                    while got < neis and left > 0:
+                        which = int(rng.integers(0, left))
+                        nei = pool[which]
+                        pool[which], pool[left - 1] = pool[left - 1], nei
+                        if visited[nei] != t + 1:
+                            burn(nei)
+                            got += 1
+                        left -= 1
+    e = spark.createDataFrame(edges, "src long, dst long")
+    if not directed:
+        e = e.select(F.least("src", "dst").alias("src"),
+                     F.greatest("src", "dst").alias("dst"))
+    return Graph(e, verts, directed=directed, _canonical=True)
