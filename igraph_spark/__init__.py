@@ -124,6 +124,9 @@ from igraph_spark.layouts import (
     layout_sugiyama,
 )
 from igraph_spark.algorithms.visitors import bfs_order, dfs_order
+from igraph_spark.algorithms.graphlets import (graphlets,
+                                               graphlets_candidate_basis,
+                                               graphlets_project)
 from igraph_spark.algorithms.decomposition import (is_chordal,
     maximum_cardinality_search)
 from igraph_spark.algorithms.feedback import feedback_arc_set
@@ -228,6 +231,9 @@ __all__ = [
     "layout_random",
     "layout_fruchterman_reingold",
     "layout_kamada_kawai",
+    "graphlets",
+    "graphlets_candidate_basis",
+    "graphlets_project",
     "layout_sugiyama",
     "get_shortest_paths",
     "get_all_shortest_paths",
