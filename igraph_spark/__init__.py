@@ -124,6 +124,10 @@ from igraph_spark.layouts import (
     layout_sugiyama,
 )
 from igraph_spark.algorithms.visitors import bfs_order, dfs_order
+from igraph_spark.algorithms.scg import (scg_adjacency, scg_grouping,
+                                         scg_laplacian,
+                                         scg_semiprojectors,
+                                         scg_stochastic)
 from igraph_spark.algorithms.graphlets import (graphlets,
                                                graphlets_candidate_basis,
                                                graphlets_project)
@@ -232,6 +236,11 @@ __all__ = [
     "layout_fruchterman_reingold",
     "layout_kamada_kawai",
     "graphlets",
+    "scg_grouping",
+    "scg_semiprojectors",
+    "scg_adjacency",
+    "scg_laplacian",
+    "scg_stochastic",
     "graphlets_candidate_basis",
     "graphlets_project",
     "layout_sugiyama",
