@@ -124,6 +124,8 @@ from igraph_spark.layouts import (
     layout_sugiyama,
 )
 from igraph_spark.algorithms.visitors import bfs_order, dfs_order
+from igraph_spark.algorithms.hrg import (hrg_fit, hrg_game, hrg_predict,
+                                         hrg_sample)
 from igraph_spark.algorithms.scg import (scg_adjacency, scg_grouping,
                                          scg_laplacian,
                                          scg_semiprojectors,
@@ -237,6 +239,10 @@ __all__ = [
     "layout_kamada_kawai",
     "graphlets",
     "scg_grouping",
+    "hrg_fit",
+    "hrg_game",
+    "hrg_sample",
+    "hrg_predict",
     "scg_semiprojectors",
     "scg_adjacency",
     "scg_laplacian",
