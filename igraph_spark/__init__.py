@@ -124,6 +124,7 @@ from igraph_spark.layouts import (
     layout_sugiyama,
 )
 from igraph_spark.algorithms.visitors import bfs_order, dfs_order
+from igraph_spark.algorithms.lsap import solve_lsap
 from igraph_spark.algorithms.hrg import (hrg_fit, hrg_game, hrg_predict,
                                          hrg_sample)
 from igraph_spark.algorithms.scg import (scg_adjacency, scg_grouping,
@@ -240,6 +241,7 @@ __all__ = [
     "graphlets",
     "scg_grouping",
     "hrg_fit",
+    "solve_lsap",
     "hrg_game",
     "hrg_sample",
     "hrg_predict",
