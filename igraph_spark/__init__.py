@@ -119,6 +119,9 @@ from igraph_spark.layouts import (
     layout_circle,
     layout_fruchterman_reingold,
     layout_grid,
+    layout_davidson_harel,
+    layout_drl,
+    layout_gem,
     layout_kamada_kawai,
     layout_random,
     layout_sugiyama,
@@ -238,6 +241,9 @@ __all__ = [
     "layout_random",
     "layout_fruchterman_reingold",
     "layout_kamada_kawai",
+    "layout_drl",
+    "layout_gem",
+    "layout_davidson_harel",
     "graphlets",
     "scg_grouping",
     "hrg_fit",

@@ -320,3 +320,243 @@ def layout_sugiyama(graph: Graph, layers: DataFrame | None = None,
     ext_e.unpersist()
     ext_v.unpersist()
     return out
+
+
+def layout_drl(graph: Graph, iterations: int = 60,
+               seed: int = 42) -> DataFrame:
+    """igraph_layout_drl (/root/reference/src/drl_layout.cpp:87,
+    drl_graph.cpp) -> DataFrame(id, x, y).
+
+    DrL is a phased force scheduler over an FR-style kernel: liquid ->
+    expansion -> cool-down -> crunch -> simmer, each phase with its own
+    temperature and attraction scaling (drl_parse.cpp default
+    schedule).  This build drives the SAME BSP all-pairs force round as
+    layout_fruchterman_reingold through DrL's phase schedule; the
+    reference's density-grid approximate repulsion is replaced by the
+    exact aggregate (layouts run at drawable scale, where exact is both
+    cheaper and deterministic).  Edge cutting is not implemented."""
+    from igraph_spark.checkpointing import SuperstepRunner
+    spark = graph.edges.sparkSession
+    n = max(graph.vcount(), 1)
+    k = math.sqrt(1.0 / n)
+    e = (graph.edges.select(SRC, DST).where(F.col(SRC) != F.col(DST))
+         .distinct())
+    sym = (e.unionByName(e.select(F.col(DST).alias(SRC),
+                                  F.col(SRC).alias(DST)))
+           .select(F.col(SRC).alias("i"), F.col(DST).alias("j"),
+                   F.lit(True).alias("is_e"))
+           .localCheckpoint(eager=True))
+    # (share of iterations, temperature scale, attraction scale) — the
+    # default DrL schedule's proportions (liquid/expansion/cooldown/
+    # crunch/simmer = 25/25/25/10/15, attraction rising then settling)
+    phases = [(0.25, 2.0, 1.0), (0.25, 1.5, 2.0), (0.25, 0.7, 1.0),
+              (0.10, 0.3, 1.0), (0.15, 0.1, 0.5)]
+    schedule = []
+    for share, tscale, ascale in phases:
+        schedule += [(tscale, ascale)] * max(1, int(round(share
+                                                          * iterations)))
+    schedule = schedule[:max(iterations, len(phases))]
+
+    runner = SuperstepRunner(spark, checkpoint_every=5)
+    pos, start, _ = runner.start(
+        layout_random(graph, seed),
+        params={"algo": "drl", "seed": seed, "iters": len(schedule)})
+    for it in range(start, len(schedule)):
+        tscale, ascale = schedule[it]
+        frac = 1.0 - it / len(schedule)
+        temp = 0.1 * tscale * frac + 1e-6
+        a = pos.select(F.col(ID).alias("i"), F.col("x").alias("xi"),
+                       F.col("y").alias("yi"))
+        b = pos.select(F.col(ID).alias("j"), F.col("x").alias("xj"),
+                       F.col("y").alias("yj"))
+        dx, dy = F.col("xi") - F.col("xj"), F.col("yi") - F.col("yj")
+        d2 = dx * dx + dy * dy + F.lit(1e-9)
+        d = F.sqrt(d2)
+        fpx = (dx / d2 * (k * k)
+               + F.when(F.col("is_e"),
+                        -dx * d / k * F.lit(ascale)).otherwise(0.0))
+        fpy = (dy / d2 * (k * k)
+               + F.when(F.col("is_e"),
+                        -dy * d / k * F.lit(ascale)).otherwise(0.0))
+        forces = (a.crossJoin(b).where(F.col("i") != F.col("j"))
+                  .join(sym, ["i", "j"], "left")
+                  .withColumn("is_e", F.coalesce("is_e", F.lit(False)))
+                  .groupBy("i")
+                  .agg(F.sum(fpx).alias("fx"), F.sum(fpy).alias("fy")))
+        mag = F.sqrt(F.col("fx") * F.col("fx")
+                     + F.col("fy") * F.col("fy")) + F.lit(1e-12)
+        step = F.least(mag, F.lit(temp))
+        new = (pos.join(forces, pos[ID] == forces["i"], "left").drop("i")
+               .select(ID,
+                       (F.col("x") + F.coalesce(F.col("fx") / mag * step,
+                                                F.lit(0.0))).alias("x"),
+                       (F.col("y") + F.coalesce(F.col("fy") / mag * step,
+                                                F.lit(0.0))).alias("y")))
+        new = new.persist()
+        new.count()
+        pos = runner.advance(it, new)
+    return pos
+
+
+def layout_gem(graph: Graph, iterations: int = 40,
+               seed: int = 42) -> DataFrame:
+    """igraph_layout_gem (/root/reference/src/layout_gem.c; Frick,
+    Ludwig & Mehldau 1995) -> DataFrame(id, x, y).
+
+    GEM adds a gravitational pull toward the layout barycenter and a
+    deterministic per-round shake on top of spring forces.  The
+    reference updates one randomly-chosen vertex at a time with
+    per-vertex adaptive temperatures; a BSP engine updates all vertices
+    synchronously per round with a shared cooling schedule (documented
+    deviation — the sequential single-vertex walk has no
+    order-independent distributed formulation)."""
+    from igraph_spark.checkpointing import SuperstepRunner
+    spark = graph.edges.sparkSession
+    n = max(graph.vcount(), 1)
+    k = math.sqrt(1.0 / n)
+    gamma = 1.0 / 16.0            # gravitational constant, layout_gem.c
+    e = (graph.edges.select(SRC, DST).where(F.col(SRC) != F.col(DST))
+         .distinct())
+    sym = (e.unionByName(e.select(F.col(DST).alias(SRC),
+                                  F.col(SRC).alias(DST)))
+           .select(F.col(SRC).alias("i"), F.col(DST).alias("j"),
+                   F.lit(True).alias("is_e"))
+           .localCheckpoint(eager=True))
+    runner = SuperstepRunner(spark, checkpoint_every=5)
+    pos, start, _ = runner.start(
+        layout_random(graph, seed),
+        params={"algo": "gem", "seed": seed, "iters": iterations})
+    for it in range(start, iterations):
+        temp = 0.1 * (1.0 - it / iterations) + 1e-6
+        cen = pos.agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
+        a = pos.select(F.col(ID).alias("i"), F.col("x").alias("xi"),
+                       F.col("y").alias("yi"))
+        b = pos.select(F.col(ID).alias("j"), F.col("x").alias("xj"),
+                       F.col("y").alias("yj"))
+        dx, dy = F.col("xi") - F.col("xj"), F.col("yi") - F.col("yj")
+        d2 = dx * dx + dy * dy + F.lit(1e-9)
+        d = F.sqrt(d2)
+        fpx = (dx / d2 * (k * k)
+               + F.when(F.col("is_e"), -dx * d / k).otherwise(0.0))
+        fpy = (dy / d2 * (k * k)
+               + F.when(F.col("is_e"), -dy * d / k).otherwise(0.0))
+        forces = (a.crossJoin(b).where(F.col("i") != F.col("j"))
+                  .join(sym, ["i", "j"], "left")
+                  .withColumn("is_e", F.coalesce("is_e", F.lit(False)))
+                  .groupBy("i")
+                  .agg(F.sum(fpx).alias("fx"), F.sum(fpy).alias("fy")))
+        # gravity toward barycenter + deterministic hash shake
+        shake_x = (F.xxhash64(F.col(ID), F.lit(seed), F.lit(1000 + it))
+                   .cast("double") / F.lit(2.0 ** 63)) * temp * 0.1
+        shake_y = (F.xxhash64(F.col(ID), F.lit(seed), F.lit(2000 + it))
+                   .cast("double") / F.lit(2.0 ** 63)) * temp * 0.1
+        withf = (pos.join(forces, pos[ID] == forces["i"], "left")
+                 .drop("i").crossJoin(cen)
+                 .select(ID, "x", "y",
+                         (F.coalesce("fx", F.lit(0.0))
+                          + (F.col("cx") - F.col("x")) * gamma
+                          + shake_x).alias("fx"),
+                         (F.coalesce("fy", F.lit(0.0))
+                          + (F.col("cy") - F.col("y")) * gamma
+                          + shake_y).alias("fy")))
+        mag = F.sqrt(F.col("fx") * F.col("fx")
+                     + F.col("fy") * F.col("fy")) + F.lit(1e-12)
+        step = F.least(mag, F.lit(temp))
+        new = withf.select(
+            ID, (F.col("x") + F.col("fx") / mag * step).alias("x"),
+            (F.col("y") + F.col("fy") / mag * step).alias("y"))
+        new = new.persist()
+        new.count()
+        pos = runner.advance(it, new)
+    return pos
+
+
+def layout_davidson_harel(graph: Graph, maxiter: int = 10,
+                          fineiter: int = 30, cool_fact: float = 0.75,
+                          weight_node_dist: float = 1.0,
+                          weight_edge_lengths: float | None = None,
+                          weight_edge_crossings: float | None = None,
+                          vertex_threshold: int = 500,
+                          seed: int = 42) -> DataFrame:
+    """igraph_layout_davidson_harel (/root/reference/src/layout_dh.c;
+    Davidson & Harel 1996) -> DataFrame(id, x, y).
+
+    Simulated annealing over single-vertex moves minimizing
+      E = w_nd * sum 1/d(u,v)^2  +  w_el * sum d(edge)^2
+        + w_cr * #edge-crossings,
+    with the default weights derived from graph density like the
+    reference's high-level wrapper.  Sequential BY DEFINITION (each
+    Metropolis move conditions on every other current position), so a
+    driver core gated by ``vertex_threshold``; deterministic via
+    seeded PCG64."""
+    import numpy as np
+
+    spark = graph.edges.sparkSession
+    vids = sorted(int(r[0]) for r in graph.vertices.select(ID).collect())
+    n = len(vids)
+    if n > vertex_threshold:
+        raise ValueError(
+            f"davidson-harel annealing is sequential: {n} vertices > "
+            f"vertex_threshold={vertex_threshold}")
+    if n == 0:
+        return spark.createDataFrame([], f"{ID} long, x double, y double")
+    idx = {v: i for i, v in enumerate(vids)}
+    edges = [(idx[int(r[SRC])], idx[int(r[DST])])
+             for r in graph.edges.select(SRC, DST).collect()
+             if int(r[SRC]) != int(r[DST])]
+    density = 2.0 * len(edges) / max(n * (n - 1), 1)
+    if weight_edge_lengths is None:
+        weight_edge_lengths = density / 10.0
+    if weight_edge_crossings is None:
+        weight_edge_crossings = 1.0 - math.sqrt(density)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    pos = rng.uniform(-1.0, 1.0, size=(n, 2))
+
+    def seg_cross(p1, p2, p3, p4):
+        d1 = p2 - p1
+        d2 = p4 - p3
+        den = -d2[0] * d1[1] + d1[0] * d2[1]
+        if den == 0:
+            return False
+        s = (-d1[1] * (p1[0] - p3[0]) + d1[0] * (p1[1] - p3[1])) / den
+        t = (d2[0] * (p1[1] - p3[1]) - d2[1] * (p1[0] - p3[0])) / den
+        return 0 < s < 1 and 0 < t < 1
+
+    def vertex_energy(v, p):
+        en = 0.0
+        if weight_node_dist:
+            d2 = np.sum((pos - p) ** 2, axis=1)
+            d2[v] = np.inf
+            en += weight_node_dist * float(np.sum(1.0 / (d2 + 1e-12)))
+        if weight_edge_lengths:
+            for (a, b) in edges:
+                if a == v or b == v:
+                    other = pos[b] if a == v else pos[a]
+                    en += weight_edge_lengths * float(
+                        np.sum((p - other) ** 2))
+        if weight_edge_crossings:
+            vedges = [(a, b) for (a, b) in edges if a == v or b == v]
+            for (a, b) in vedges:
+                pa = p if a == v else pos[a]
+                pb = p if b == v else pos[b]
+                for (c, dd) in edges:
+                    if c in (a, b) or dd in (a, b):
+                        continue
+                    if seg_cross(pa, pb, pos[c], pos[dd]):
+                        en += weight_edge_crossings
+        return en
+
+    radius = 1.0
+    for _ in range(maxiter):
+        for _ in range(fineiter):
+            v = int(rng.integers(0, n))
+            old = pos[v].copy()
+            cand = old + rng.uniform(-radius, radius, size=2)
+            e_old = vertex_energy(v, old)
+            e_new = vertex_energy(v, cand)
+            if e_new <= e_old:
+                pos[v] = cand
+        radius *= cool_fact
+    rows = [(vids[i], float(pos[i, 0]), float(pos[i, 1]))
+            for i in range(n)]
+    return spark.createDataFrame(rows, f"{ID} long, x double, y double")

@@ -148,3 +148,54 @@ def test_sugiyama_explicit_layers(spark):
                                 "id long, layer long")
     rows = {r["id"]: r for r in layout_sugiyama(g, layers=lay).collect()}
     assert rows[1]["layer"] == 5 and rows[1]["y"] == 5.0
+
+
+def test_drl_deterministic_and_finite(spark):
+    from igraph_spark.layouts import layout_drl
+    from igraph_spark.generators import famous
+    g = famous(spark, "bull")
+    a = sorted(map(tuple, layout_drl(g, iterations=8, seed=3).collect()))
+    b = sorted(map(tuple, layout_drl(g, iterations=8, seed=3).collect()))
+    assert a == b and len(a) == 5
+    assert all(math.isfinite(x) and math.isfinite(y) for _, x, y in a)
+
+
+def test_gem_pulls_toward_connected(spark):
+    from igraph_spark.layouts import layout_gem
+    from igraph_spark.graph import Graph
+    # two disjoint triangles: in-triangle distances < cross distances
+    rows = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    g = Graph(e, spark.range(6), directed=False)
+    pos = {r.id: (r.x, r.y) for r in
+           layout_gem(g, iterations=25, seed=5).collect()}
+
+    def dist(u, v):
+        return math.dist(pos[u], pos[v])
+
+    intra = (dist(0, 1) + dist(0, 2) + dist(1, 2)
+             + dist(3, 4) + dist(3, 5) + dist(4, 5)) / 6
+    cross = sum(dist(u, v) for u in (0, 1, 2) for v in (3, 4, 5)) / 9
+    assert intra < cross
+
+
+def test_davidson_harel_deterministic_spread(spark):
+    from igraph_spark.layouts import layout_davidson_harel
+    from igraph_spark.generators import famous
+    g = famous(spark, "house")
+    a = sorted(map(tuple, layout_davidson_harel(g, seed=7).collect()))
+    b = sorted(map(tuple, layout_davidson_harel(g, seed=7).collect()))
+    assert a == b and len(a) == 5
+    # annealing with node-repulsion must not collapse vertices
+    for i in range(len(a)):
+        for j in range(i + 1, len(a)):
+            assert math.dist(a[i][1:], a[j][1:]) > 1e-3
+
+
+def test_davidson_harel_gate(spark):
+    import pytest
+    from igraph_spark.layouts import layout_davidson_harel
+    from igraph_spark.generators import famous
+    g = famous(spark, "petersen")
+    with pytest.raises(ValueError, match="sequential"):
+        layout_davidson_harel(g, vertex_threshold=5)
