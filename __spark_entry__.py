@@ -847,6 +847,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = coreness(g).localCheckpoint(eager=True)
         return out
 
+    # ---------------- frequent subgraph mining (fsm.c support measures)
+    def _fsm_wedge_db(spark, sf):
+        l = _t(spark, sf, "lineitem")
+        return (l.select((F.col("l_orderkey") % 40).alias("gid"),
+                         (F.col("l_partkey") % 120).alias("src"),
+                         (F.col("l_suppkey") % 120 + 120).alias("dst"))
+                .distinct())
+
+    def q_fsm_mib_wedge(spark, sf):
+        """Minimum-image-based support of the wedge pattern per database
+        graph (igraph_mib_support + aggregated_db layout, fsm.c:745)."""
+        from igraph_spark.algorithms.fsm import Pattern, mib_support
+        e = _fsm_wedge_db(spark, sf)
+        return mib_support(e, Pattern(edges=((0, 1), (1, 2))))
+
+    def _fsm_tri_db(spark, sf):
+        l = _t(spark, sf, "lineitem")
+        raw = l.select((F.col("l_orderkey") % 24).alias("gid"),
+                       (F.col("l_partkey") % 97).alias("x"),
+                       (F.col("l_suppkey") % 97).alias("y"),
+                       ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 97)
+                       .alias("z"))
+        tri = (raw.select("gid", F.col("x").alias("a"), F.col("y").alias("b"))
+               .unionByName(raw.select("gid", F.col("y").alias("a"),
+                                       F.col("z").alias("b")))
+               .unionByName(raw.select("gid", F.col("z").alias("a"),
+                                       F.col("x").alias("b"))))
+        return (tri.where(F.col("a") != F.col("b"))
+                .select("gid", F.least("a", "b").alias("src"),
+                        F.greatest("a", "b").alias("dst"))
+                .distinct())
+
+    def q_fsm_triangle_mib(spark, sf):
+        """MIB support of the triangle pattern per database graph —
+        three chained (gid, vertex) joins, fsm.c:745."""
+        from igraph_spark.algorithms.fsm import Pattern, mib_support
+        e = _fsm_tri_db(spark, sf)
+        return mib_support(e, Pattern(edges=((0, 1), (1, 2), (2, 0))))
+
     # Ordering matters: the driver's correctness gate evaluates the FIRST
     # 50 entries of this dict.  The north-rule / iterative algorithms come
     # first so the official CORRECTNESS record always covers them; the
@@ -886,11 +925,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastgreedy_sizes": q_fastgreedy_sizes,
         "walktrap_sizes": q_walktrap_sizes,
         "mst": q_mst,
+        "fsm_mib_wedge": q_fsm_mib_wedge,
+        "fsm_triangle_mib": q_fsm_triangle_mib,
         # -- structural / relational --
         "degree_all": q_degree_all,
         "strength_all": q_strength_all,
-        "density": q_density,
-        "reciprocity": q_reciprocity,
         "cocitation": q_cocitation,
         "jaccard": q_jaccard,
         "assortativity": q_assortativity,
@@ -934,6 +973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "diversity": q_diversity,
         "path_length_hist": q_path_length_hist,
+        "density": q_density,
+        "reciprocity": q_reciprocity,
     }
 
 
@@ -2149,6 +2190,47 @@ def oracle_sql() -> dict[str, str]:
           SELECT CAST((SELECT count(*) FROM nl a
                        JOIN nl b ON a.src = b.dst AND a.dst = b.src) AS DOUBLE)
                / (SELECT count(*) FROM nl) AS reciprocity
+        """,
+        "fsm_mib_wedge": """
+          WITH base AS (
+            SELECT DISTINCT l_orderkey % 40 AS gid, l_partkey % 120 AS src,
+                   l_suppkey % 120 + 120 AS dst
+            FROM lineitem),
+          sym AS (SELECT gid, src, dst FROM base
+                  UNION SELECT gid, dst, src FROM base),
+          emb AS (
+            SELECT e1.gid, e1.src AS v0, e1.dst AS v1, e2.dst AS v2
+            FROM sym e1 JOIN sym e2
+              ON e1.gid = e2.gid AND e1.dst = e2.src
+            WHERE e1.src <> e2.dst)
+          SELECT gid, CAST(least(count(DISTINCT v0), count(DISTINCT v1),
+                                 count(DISTINCT v2)) AS BIGINT) AS support
+          FROM emb GROUP BY gid
+        """,
+        "fsm_triangle_mib": """
+          WITH raw AS (
+            SELECT l_orderkey % 24 AS gid, l_partkey % 97 AS x,
+                   l_suppkey % 97 AS y,
+                   (l_partkey * 7 + l_suppkey) % 97 AS z
+            FROM lineitem),
+          tri AS (SELECT gid, x AS a, y AS b FROM raw
+                  UNION ALL SELECT gid, y, z FROM raw
+                  UNION ALL SELECT gid, z, x FROM raw),
+          base AS (SELECT DISTINCT gid, least(a, b) AS src,
+                          greatest(a, b) AS dst
+                   FROM tri WHERE a <> b),
+          sym AS (SELECT gid, src, dst FROM base
+                  UNION SELECT gid, dst, src FROM base),
+          emb AS (
+            SELECT e1.gid, e1.src AS v0, e1.dst AS v1, e2.dst AS v2
+            FROM sym e1
+            JOIN sym e2 ON e1.gid = e2.gid AND e1.dst = e2.src
+            JOIN sym e3 ON e2.gid = e3.gid AND e2.dst = e3.src
+                        AND e3.dst = e1.src
+            WHERE e1.src <> e2.dst)
+          SELECT gid, CAST(least(count(DISTINCT v0), count(DISTINCT v1),
+                                 count(DISTINCT v2)) AS BIGINT) AS support
+          FROM emb GROUP BY gid
         """,
         "cocitation": f"""
           WITH e AS ({_ORDER_E_SQL})

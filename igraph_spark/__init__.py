@@ -140,6 +140,9 @@ from igraph_spark.algorithms.graphlets import (graphlets,
 from igraph_spark.algorithms.decomposition import (is_chordal,
     maximum_cardinality_search)
 from igraph_spark.algorithms.feedback import feedback_arc_set
+from igraph_spark.algorithms.fsm import (Pattern, FrequentPattern,
+    db_embeddings, shallow_support, mib_support, egobased_support,
+    db_support, gspan)
 from igraph_spark.algorithms.games import moran_step, optimal_imitation
 from igraph_spark.algorithms.paths import (
     bfs_distances,
@@ -263,6 +266,8 @@ __all__ = [
     "bfs_order",
     "dfs_order",
     "feedback_arc_set",
+    "Pattern", "FrequentPattern", "db_embeddings", "shallow_support",
+    "mib_support", "egobased_support", "db_support", "gspan",
     "moran_step",
     "optimal_imitation",
     "is_chordal",
