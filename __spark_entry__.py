@@ -847,6 +847,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = coreness(g).localCheckpoint(eager=True)
         return out
 
+    def q_simple_paths(spark, sf):
+        """All simple paths from vertex 0 up to 4 edges on the sparse
+        customer-supplier graph, counted per reached vertex
+        (igraph_get_all_simple_paths, paths.c:60)."""
+        from igraph_spark.algorithms.paths import get_all_simple_paths
+        g = _graph(_art_edges(spark, sf), False)
+        paths = get_all_simple_paths(g, 0, mode="all", cutoff=4)
+        return paths.groupBy("id").agg(
+            F.count("*").cast("long").alias("n_paths"))
+
     # ---------------- frequent subgraph mining (fsm.c support measures)
     def _fsm_wedge_db(spark, sf):
         l = _t(spark, sf, "lineitem")
@@ -925,13 +935,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastgreedy_sizes": q_fastgreedy_sizes,
         "walktrap_sizes": q_walktrap_sizes,
         "mst": q_mst,
+        "simple_paths": q_simple_paths,
         "fsm_mib_wedge": q_fsm_mib_wedge,
         "fsm_triangle_mib": q_fsm_triangle_mib,
         # -- structural / relational --
         "degree_all": q_degree_all,
         "strength_all": q_strength_all,
-        "cocitation": q_cocitation,
-        "jaccard": q_jaccard,
         "assortativity": q_assortativity,
         "bipartite_projection": q_bipartite_projection,
         "dyad_census": q_dyad_census,
@@ -975,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_length_hist": q_path_length_hist,
         "density": q_density,
         "reciprocity": q_reciprocity,
+        "cocitation": q_cocitation,
+        "jaccard": q_jaccard,
     }
 
 
@@ -2190,6 +2201,18 @@ def oracle_sql() -> dict[str, str]:
           SELECT CAST((SELECT count(*) FROM nl a
                        JOIN nl b ON a.src = b.dst AND a.dst = b.src) AS DOUBLE)
                / (SELECT count(*) FROM nl) AS reciprocity
+        """,
+        "simple_paths": f"""
+          WITH RECURSIVE base AS ({_ART_E_SQL}),
+          sym AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+          paths(term, path, len) AS (
+            SELECT CAST(0 AS BIGINT), [CAST(0 AS BIGINT)], 0
+            UNION ALL
+            SELECT sym.dst, list_append(p.path, sym.dst), p.len + 1
+            FROM paths p JOIN sym ON p.term = sym.src
+            WHERE NOT list_contains(p.path, sym.dst) AND p.len < 4)
+          SELECT term AS id, CAST(count(*) AS BIGINT) AS n_paths
+          FROM paths WHERE len > 0 GROUP BY term
         """,
         "fsm_mib_wedge": """
           WITH base AS (

@@ -146,6 +146,7 @@ from igraph_spark.algorithms.fsm import (Pattern, FrequentPattern,
 from igraph_spark.algorithms.games import moran_step, optimal_imitation
 from igraph_spark.algorithms.paths import (
     bfs_distances,
+    get_all_simple_paths,
     delta_stepping,
     shortest_paths,
     average_path_length,
@@ -275,6 +276,7 @@ __all__ = [
     "permute_vertices",
     "transitive_closure_dag",
     "bfs_distances",
+    "get_all_simple_paths",
     "shortest_paths",
     "average_path_length",
     "diameter",

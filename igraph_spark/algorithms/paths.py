@@ -411,6 +411,61 @@ def get_all_shortest_paths(graph: Graph, sources, mode: str = "out",
     return done
 
 
+def get_all_simple_paths(graph: Graph, source: int, to=None,
+                         mode: str = "out",
+                         cutoff: int | None = None) -> DataFrame:
+    """igraph_get_all_simple_paths analog
+    (/root/reference/src/paths.c:60) -> DataFrame(id, path:
+    array<long>) with one row per simple path from ``source`` to
+    vertex ``id`` (vertex-distinct walks; the single-vertex path to
+    the source itself is excluded, matching the reference's stack
+    semantics of emitting only on reaching a ``to`` vertex).
+
+    ``to``: iterable of target ids, or None for all vertices.
+    ``cutoff``: maximum path LENGTH in edges (the reference
+    enumerates unbounded — pass None for parity; at scale always set
+    a cutoff: simple-path counts grow exponentially, and this is an
+    output-bound enumeration exactly like the reference's DFS).
+
+    BSP shape: the frontier is (terminal, path) rows; each superstep
+    is one join frontier->edges with an ``array_contains`` revisit
+    filter, so every superstep's work is proportional to the number
+    of live partial paths — distributed over their terminal vertex.
+    """
+    spark = graph.edges.sparkSession
+    e = (_trav(graph, mode, weighted=False).select(SRC, DST)
+         .where(F.col(SRC) != F.col(DST)).distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    targets = None if to is None else {int(t) for t in to}
+    max_len = cutoff if cutoff is not None else 1 << 30
+
+    frontier = spark.createDataFrame(
+        [(int(source),)], "term long").select(
+        "term", F.array(F.col("term")).alias("path"))
+    out_parts = []
+    step = 0
+    while step < max_len:
+        step += 1
+        frontier = (frontier.join(e, frontier["term"] == e[SRC])
+                    .where(~F.array_contains(F.col("path"), F.col(DST)))
+                    .select(F.col(DST).alias("term"),
+                            F.concat("path", F.array(F.col(DST)))
+                            .alias("path"))
+                    .localCheckpoint(eager=True))
+        if frontier.isEmpty():
+            break
+        hits = frontier if targets is None else \
+            frontier.where(F.col("term").isin(list(targets)))
+        out_parts.append(hits.select(F.col("term").alias(ID), "path"))
+    e.unpersist()
+    if not out_parts:
+        return spark.createDataFrame([], "id long, path array<bigint>")
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def average_path_length(graph: Graph) -> float:
     """igraph_average_path_length (structural_properties.c:223):
     mean finite shortest-path length over ordered reachable pairs,

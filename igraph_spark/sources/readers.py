@@ -676,6 +676,100 @@ def write_leda(graph: Graph, names: DataFrame | None, path: str) -> None:
                      + data + "}|\n")
 
 
+def read_graphdb(spark: SparkSession, path: str,
+                 directed: bool = False) -> Graph:
+    """igraph_read_graph_graphdb (/root/reference/src/foreign.c:927):
+    the binary graph-database format for isomorphism benchmarking —
+    16-bit little-endian words; first word is the vertex count, then
+    per vertex an out-edge count followed by that many target ids.
+
+    One graph per file, mirroring the reference (one graph per
+    stream).  Parsing is one numpy ``frombuffer`` per file inside
+    ``mapInPandas`` — the driver never touches the bytes."""
+    df = read_graphdb_db(spark, path)
+    return Graph(df.select("src", "dst"), directed=directed)
+
+
+def read_graphdb_db(spark: SparkSession, path: str) -> DataFrame:
+    """Read a DIRECTORY (or glob) of graphdb binary files as a graph
+    database -> DataFrame(gid: string, src, dst) with one gid per
+    file — the (gid, src, dst) layout algorithms.fsm consumes.  Files
+    parse in parallel across executors (binaryFile source)."""
+    bin_df = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def parse(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out_gid, out_src, out_dst = [], [], []
+            for gid, blob in zip(pdf["path"], pdf["content"]):
+                words = np.frombuffer(blob, dtype="<u2").astype("int64")
+                pos = 0
+                n = int(words[pos]); pos += 1
+                for i in range(n):
+                    if pos >= len(words):
+                        break       # truncated file: keep prefix, like
+                    deg = int(words[pos]); pos += 1   # the reference
+                    tgts = words[pos:pos + deg]
+                    pos += deg
+                    out_gid.extend([gid] * len(tgts))
+                    out_src.extend([i] * len(tgts))
+                    out_dst.extend(tgts.tolist())
+            yield pd.DataFrame({"gid": out_gid, "src": out_src,
+                                "dst": out_dst})
+
+    return bin_df.mapInPandas(parse, "gid string, src long, dst long")
+
+
+def write_graphdb(graph: Graph, path: str) -> None:
+    """graphdb binary writer (inverse of foreign.c:927; the reference
+    has no writer — provided for round-tripping test fixtures).
+    Vertex ids must fit 16 bits."""
+    import struct
+    n = graph.vcount()
+    if n >= 1 << 16:
+        raise ValueError("graphdb format is 16-bit; graph too large")
+    adj: dict[int, list[int]] = {}
+    for r in graph.edges.select("src", "dst").orderBy("src", "dst") \
+            .toLocalIterator():
+        adj.setdefault(int(r["src"]), []).append(int(r["dst"]))
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<H", n))
+        for i in range(n):
+            tgts = adj.get(i, [])
+            fh.write(struct.pack("<H", len(tgts)))
+            for t in tgts:
+                fh.write(struct.pack("<H", t))
+
+
+def write_colored_graph(graph: Graph, path: str,
+                        vcolors: DataFrame | None = None,
+                        ecolors: DataFrame | None = None) -> None:
+    """igraph_write_colored_graph (/root/reference/src/fsm.c:95): the
+    gSpan text exchange format — ``v <id> [color]`` lines then
+    ``e <src> <dst> [color]`` lines.  ``vcolors``: (id, vcolor);
+    ``ecolors``: (src, dst, ecolor)."""
+    verts = graph.vertices.select("id")
+    if vcolors is not None:
+        verts = verts.join(vcolors.select("id", "vcolor"), "id", "left")
+    e = graph.edges.select("src", "dst")
+    if ecolors is not None:
+        e = e.join(ecolors.select("src", "dst", "ecolor"),
+                   ["src", "dst"], "left")
+    with open(path, "w") as fh:
+        for r in verts.orderBy("id").toLocalIterator():
+            if vcolors is not None:
+                fh.write(f'v {r["id"]} {r["vcolor"] or 0}\n')
+            else:
+                fh.write(f'v {r["id"]}\n')
+        for r in e.orderBy("src", "dst").toLocalIterator():
+            if ecolors is not None:
+                fh.write(f'e {r["src"]} {r["dst"]} {r["ecolor"] or 0}\n')
+            else:
+                fh.write(f'e {r["src"]} {r["dst"]}\n')
+
+
 def read_graph(spark: SparkSession, path: str, fmt: str, **kw):
     """Dispatcher mirroring igraph's per-format readers; unsupported
     legacy formats are explicit non-goals (SURVEY.md §2.1)."""
@@ -696,7 +790,5 @@ def read_graph(spark: SparkSession, path: str, fmt: str, **kw):
     if fmt == "dl":
         return read_dl(spark, path, **kw)
     if fmt == "graphdb":
-        raise NotImplementedError(
-            "graphdb: binary benchmark-suite format, out of scope "
-            "(SURVEY.md §2.1); convert to edgelist/ncol/parquet")
+        return read_graphdb(spark, path, **kw)
     raise ValueError(f"unknown format {fmt!r}")

@@ -237,3 +237,64 @@ def test_write_dot_shape(spark, tmp_path):
     txt = open(p).read()
     assert txt.startswith("digraph G {")
     assert "0 -> 1;" in txt and "1 -> 2;" in txt and txt.rstrip().endswith("}")
+
+
+# -------------------------------------------------------------- graphdb
+
+def test_graphdb_round_trip(spark, tmp_path):
+    from igraph_spark.sources.readers import read_graphdb, write_graphdb
+    g = famous(spark, "Zachary")
+    p = str(tmp_path / "karate.graph")
+    write_graphdb(g, p)
+    g2 = read_graphdb(spark, p, directed=False)
+    orig = _und((int(r["src"]), int(r["dst"]))
+                for r in g.edges.collect())
+    back = _und((int(r["src"]), int(r["dst"]))
+                for r in g2.edges.collect())
+    assert back == orig
+    assert g2.vcount() == g.vcount()
+
+
+def test_graphdb_binary_layout(spark, tmp_path):
+    """First word = n, then per-vertex (count, targets) 16-bit LE —
+    foreign.c:927 byte-for-byte."""
+    import struct
+    from igraph_spark.sources.readers import read_graphdb
+    # 3 vertices: 0->{1,2}, 1->{2}, 2->{}
+    p = tmp_path / "tiny.graph"
+    p.write_bytes(struct.pack("<H", 3) + struct.pack("<HHH", 2, 1, 2)
+                  + struct.pack("<HH", 1, 2) + struct.pack("<H", 0))
+    g = read_graphdb(spark, str(p), directed=True)
+    got = sorted((int(r["src"]), int(r["dst"]))
+                 for r in g.edges.collect())
+    assert got == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_graphdb_db_directory(spark, tmp_path):
+    from igraph_spark.sources.readers import (read_graphdb_db,
+                                              write_graphdb)
+    from igraph_spark.graph import Graph
+    a = Graph(spark.createDataFrame([(0, 1), (1, 2)],
+                                    "src long, dst long"), directed=True)
+    b = Graph(spark.createDataFrame([(0, 1)],
+                                    "src long, dst long"), directed=True)
+    write_graphdb(a, str(tmp_path / "a.graph"))
+    write_graphdb(b, str(tmp_path / "b.graph"))
+    db = read_graphdb_db(spark, str(tmp_path) + "/*.graph")
+    per = {os.path.basename(r["gid"]): int(r["n"]) for r in
+           db.groupBy("gid").count().withColumnRenamed("count", "n")
+           .collect()}
+    assert per == {"a.graph": 2, "b.graph": 1}
+
+
+def test_write_colored_graph(spark, tmp_path):
+    from igraph_spark.graph import Graph
+    from igraph_spark.sources.readers import write_colored_graph
+    g = Graph(spark.createDataFrame([(0, 1), (1, 2)],
+                                    "src long, dst long"), directed=False)
+    vc = spark.createDataFrame([(0, 5), (1, 6), (2, 5)],
+                               "id long, vcolor long")
+    p = str(tmp_path / "g.cg")
+    write_colored_graph(g, p, vcolors=vc)
+    lines = open(p).read().splitlines()
+    assert lines == ["v 0 5", "v 1 6", "v 2 5", "e 0 1", "e 1 2"]
