@@ -896,6 +896,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _fsm_tri_db(spark, sf)
         return mib_support(e, Pattern(edges=((0, 1), (1, 2), (2, 0))))
 
+    def q_dynamic_transitions(spark, sf):
+        """Temporal union-graph projection (dynamic.c:1033): events
+        become a bipartite user-item edge log with lifetime intervals;
+        each transition t|t+1 yields presence-coded edges."""
+        from igraph_spark.algorithms.dynamic_graphs import project_dynamic
+        ev = _t(spark, sf, "events")
+        base = ev.select((F.col("user_id") % 50).alias("src"),
+                         (F.col("event_id") % 80 + 50).alias("dst"),
+                         (F.col("event_id") % 5).alias("c0"),
+                         (F.col("event_id") % 5 + 1
+                          + F.col("user_id") % 3).alias("d0"))
+        log = base.groupBy("src", "dst").agg(
+            F.min("c0").alias("t_create"), F.max("d0").alias("t_delete"))
+        return project_dynamic(log, 6)
+
     # Ordering matters: the driver's correctness gate evaluates the FIRST
     # 50 entries of this dict.  The north-rule / iterative algorithms come
     # first so the official CORRECTNESS record always covers them; the
@@ -938,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_paths": q_simple_paths,
         "fsm_mib_wedge": q_fsm_mib_wedge,
         "fsm_triangle_mib": q_fsm_triangle_mib,
+        "dynamic_transitions": q_dynamic_transitions,
         # -- structural / relational --
         "degree_all": q_degree_all,
         "strength_all": q_strength_all,
@@ -2213,6 +2229,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT list_contains(p.path, sym.dst) AND p.len < 4)
           SELECT term AS id, CAST(count(*) AS BIGINT) AS n_paths
           FROM paths WHERE len > 0 GROUP BY term
+        """,
+        "dynamic_transitions": """
+          WITH base AS (
+            SELECT user_id % 50 AS src, event_id % 80 + 50 AS dst,
+                   event_id % 5 AS c0,
+                   event_id % 5 + 1 + user_id % 3 AS d0
+            FROM events),
+          log AS (SELECT src, dst, min(c0) AS c, max(d0) AS d
+                  FROM base GROUP BY src, dst),
+          live AS (
+            SELECT l.src, l.dst, l.c, l.d, gs.gid
+            FROM log l,
+                 unnest(generate_series(greatest(l.c - 1, 0),
+                                        least(l.d - 1, 4))) AS gs(gid)),
+          coded AS (
+            SELECT gid, src, dst,
+              (CASE WHEN c <= gid AND gid < d THEN 2 ELSE 0 END)
+            + (CASE WHEN c <= gid + 1 AND gid + 1 < d THEN 1 ELSE 0 END)
+              AS ecolor
+            FROM live)
+          SELECT CAST(gid AS BIGINT) AS gid, src, dst,
+                 CAST(ecolor AS BIGINT) AS ecolor
+          FROM coded WHERE ecolor > 0
         """,
         "fsm_mib_wedge": """
           WITH base AS (

@@ -140,6 +140,8 @@ from igraph_spark.algorithms.graphlets import (graphlets,
 from igraph_spark.algorithms.decomposition import (is_chordal,
     maximum_cardinality_search)
 from igraph_spark.algorithms.feedback import feedback_arc_set
+from igraph_spark.algorithms.dynamic_graphs import (read_dynamic_velist,
+    snapshot_edges, union_graph_projection, project_dynamic, evomine)
 from igraph_spark.algorithms.fsm import (Pattern, FrequentPattern,
     db_embeddings, shallow_support, mib_support, egobased_support,
     db_support, gspan)
@@ -267,6 +269,8 @@ __all__ = [
     "bfs_order",
     "dfs_order",
     "feedback_arc_set",
+    "read_dynamic_velist", "snapshot_edges", "union_graph_projection",
+    "project_dynamic", "evomine",
     "Pattern", "FrequentPattern", "db_embeddings", "shallow_support",
     "mib_support", "egobased_support", "db_support", "gspan",
     "moran_step",

@@ -1,0 +1,167 @@
+"""Dynamic (temporal) graphs — the reference fork's EvoMine pipeline,
+src/dynamic.c: ``igraph_read_and_project_dynamic_velist``
+(dynamic.c:75), ``igraph_i_compute_union_graph_projection``
+(dynamic.c:568), ``igraph_compute_dynamic_union_graph_projection``
+(dynamic.c:1033).
+
+The reference reads a "velist" edge log (edges with creation/deletion
+timestamps), materializes one snapshot per timestep, and merges each
+consecutive snapshot pair into a labelled UNION GRAPH whose edge
+colors encode the transition (present-before / present-after /
+both), then mines change patterns with gspan.  The Spark shape skips
+snapshot materialization entirely: each edge's lifetime interval
+[create, delete) is exploded to the transitions it participates in
+and the transition color is computed arithmetically — one
+``explode(sequence(...))`` over the edge log, no driver loop, no
+per-snapshot adjacency merge.  The projected database is the
+(gid, src, dst, ecolor) layout that ``algorithms.fsm`` mines.
+
+Transition colors follow dynamic.c:568: uncolored edges get
+``0b10`` (present only at t), ``0b01`` (only at t+1), ``0b11``
+(both); colored edges get ``(max_ecolor+1)*ec_t + ec_{t+1}`` with 0
+standing for absent.  Vertex colors combine the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+GID, SRC, DST, ECOLOR = "gid", "src", "dst", "ecolor"
+
+
+def read_dynamic_velist(spark: SparkSession, path: str,
+                        colored: bool = False) -> tuple[DataFrame,
+                                                        DataFrame]:
+    """Parse the velist format (dynamic.c:62-74)::
+
+        v <vid> [...]
+        e <src> <dst> [<color>] <creation> [<deletion> [...]]
+
+    ``deletion`` -1 (or absent) means the edge never disappears.
+    Returns (vertices(id), edges(src, dst[, ecolor], t_create,
+    t_delete)) — a distributed line scan, splittable like the
+    edge-list readers."""
+    lines = spark.read.text(path).select(
+        F.split(F.trim(F.col("value")), r"\s+").alias("f"))
+    verts = (lines.where(F.col("f")[0] == "v")
+             .select(F.col("f")[1].cast("long").alias("id")))
+    e = lines.where(F.col("f")[0] == "e")
+    if colored:
+        out = e.select(F.col("f")[1].cast("long").alias(SRC),
+                       F.col("f")[2].cast("long").alias(DST),
+                       F.col("f")[3].cast("long").alias(ECOLOR),
+                       F.col("f")[4].cast("long").alias("t_create"),
+                       F.coalesce(F.col("f")[5].cast("long"),
+                                  F.lit(-1)).alias("t_delete"))
+    else:
+        out = e.select(F.col("f")[1].cast("long").alias(SRC),
+                       F.col("f")[2].cast("long").alias(DST),
+                       F.col("f")[3].cast("long").alias("t_create"),
+                       F.coalesce(F.col("f")[4].cast("long"),
+                                  F.lit(-1)).alias("t_delete"))
+    return verts, out
+
+
+def snapshot_edges(edges: DataFrame, timesteps: int) -> DataFrame:
+    """Explode lifetime intervals into per-timestep snapshot rows ->
+    DataFrame(t, src, dst[, ecolor]): edge alive at t iff
+    t_create <= t < t_delete (t_delete = -1: never deleted)."""
+    hi = F.when(F.col("t_delete") < 0, F.lit(timesteps - 1)) \
+        .otherwise(F.least(F.col("t_delete") - 1,
+                           F.lit(timesteps - 1)))
+    extra = [ECOLOR] if ECOLOR in edges.columns else []
+    return (edges
+            .where(F.col("t_create") < timesteps)
+            .where((F.col("t_delete") < 0)
+                   | (F.col("t_delete") > F.col("t_create")))
+            .select(F.explode(F.sequence(F.col("t_create"), hi))
+                    .alias("t"), SRC, DST, *extra))
+
+
+def union_graph_projection(e1: DataFrame, e2: DataFrame,
+                           max_ecolor: int | None = None) -> DataFrame:
+    """Merge one snapshot pair (dynamic.c:568) -> DataFrame(src, dst,
+    ecolor).  Uncolored inputs get the 2-bit presence code; colored
+    inputs (an ``ecolor`` column on both sides) combine base
+    (max_ecolor+1)."""
+    c1 = ECOLOR in e1.columns
+    a = e1.select(SRC, DST, *( [F.col(ECOLOR).alias("ec1")] if c1
+                               else [F.lit(1).alias("ec1")] ))
+    b = e2.select(SRC, DST, *( [F.col(ECOLOR).alias("ec2")] if c1
+                               else [F.lit(1).alias("ec2")] ))
+    j = a.join(b, [SRC, DST], "full_outer")
+    if c1:
+        if max_ecolor is None:
+            raise ValueError("max_ecolor required for colored snapshots")
+        code = (F.coalesce(F.col("ec1"), F.lit(0))
+                * F.lit(max_ecolor + 1)
+                + F.coalesce(F.col("ec2"), F.lit(0)))
+    else:
+        code = (F.when(F.col("ec1").isNotNull(), F.lit(2))
+                .otherwise(F.lit(0))
+                + F.when(F.col("ec2").isNotNull(), F.lit(1))
+                .otherwise(F.lit(0)))
+    return j.select(SRC, DST, code.cast("long").alias(ECOLOR))
+
+
+def project_dynamic(edges: DataFrame, timesteps: int,
+                    max_ecolor: int | None = None) -> DataFrame:
+    """The whole transition database in ONE pass (dynamic.c:1033):
+    gid = t in [0, timesteps-2] is the union graph of snapshots t and
+    t+1 -> DataFrame(gid, src, dst, ecolor).
+
+    An edge with lifetime [c, d) is part of transition t iff it is
+    alive at t or t+1, i.e. t in [c-1, d-1]; its color is computed
+    from the two aliveness tests directly — no snapshot pair is ever
+    materialized, so the plan is explode + project over the raw edge
+    log (the 100 TB event-stream shape)."""
+    colored = ECOLOR in edges.columns
+    if colored and max_ecolor is None:
+        raise ValueError("max_ecolor required for colored edge logs")
+    d_excl = F.when(F.col("t_delete") < 0, F.lit(timesteps)) \
+        .otherwise(F.col("t_delete"))
+    lo = F.greatest(F.col("t_create") - 1, F.lit(0))
+    hi = F.least(d_excl - 1, F.lit(timesteps - 2))
+    live = (edges
+            .where((F.col("t_delete") < 0)
+                   | (F.col("t_delete") > F.col("t_create")))
+            .where(lo <= hi)
+            .select(SRC, DST,
+                    *( [ECOLOR] if colored else [] ),
+                    F.col("t_create").alias("c"), d_excl.alias("d"),
+                    F.explode(F.sequence(lo, hi)).alias(GID)))
+    alive_t = (F.col("c") <= F.col(GID)) & (F.col(GID) < F.col("d"))
+    alive_t1 = (F.col("c") <= F.col(GID) + 1) & \
+               (F.col(GID) + 1 < F.col("d"))
+    if colored:
+        code = (F.when(alive_t, F.col(ECOLOR)).otherwise(F.lit(0))
+                * F.lit(max_ecolor + 1)
+                + F.when(alive_t1, F.col(ECOLOR)).otherwise(F.lit(0)))
+    else:
+        code = (F.when(alive_t, F.lit(2)).otherwise(F.lit(0))
+                + F.when(alive_t1, F.lit(1)).otherwise(F.lit(0)))
+    # a (src,dst) pair may have several lifetime intervals (re-created
+    # edges); intervals are disjoint, so per transition at most one
+    # interval is alive at t and at most one at t+1 — summing the
+    # per-row codes therefore reconstructs the combined code exactly
+    # (including the cross case: one interval ends at t, another
+    # starts at t+1)
+    return (live.select(GID, SRC, DST, code.cast("long").alias(ECOLOR))
+            .where(F.col(ECOLOR) > 0)
+            .groupBy(GID, SRC, DST)
+            .agg(F.sum(ECOLOR).cast("long").alias(ECOLOR)))
+
+
+def evomine(edges: DataFrame, timesteps: int, min_supp: int,
+            max_edges: int = 2, measure: str = "shallow",
+            max_ecolor: int | None = None):
+    """End-to-end EvoMine analog: project the edge log into the
+    transition database, then mine frequent change patterns with
+    gspan (DEFAULT-variant label matching on transition codes —
+    exact-color equality; the reference's EVOMINE variant's
+    label-string wildcards are a documented non-goal).
+    Returns the ``gspan`` result list."""
+    from igraph_spark.algorithms.fsm import gspan
+    db = project_dynamic(edges, timesteps, max_ecolor)
+    return gspan(db, min_supp=min_supp, max_edges=max_edges,
+                 measure=measure)
