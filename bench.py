@@ -63,14 +63,29 @@ def main() -> None:
             #   the cached link table)
             # - per-superstep broadcast of the n-row state loses to a
             #   partitioned join (driver collect each round)
-            # - shuffle compression is a net loss in local mode (page
-            #   cache absorbs the writes; lz4 only burns CPU) — on a
-            #   real network-shuffle cluster keep it on
+            # - shuffle compression is HOST-DEPENDENT: on a fast-disk
+            #   host the page cache absorbs raw writes and lz4 only
+            #   burns CPU (round-2 box: off won by ~10%); on a
+            #   writeback-bound disk raw shuffle is 2.3x SLOWER
+            #   (round-3 box, 89 MB/s fdatasync: pagerank 132 s off vs
+            #   58 s on).  Default on — the safe choice everywhere and
+            #   what a real network-shuffle cluster wants anyway.
+            #   Override with BENCH_SHUFFLE_COMPRESS=false to replay
+            #   the fast-disk tuning.
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.autoBroadcastJoinThreshold": "-1",
             "spark.sql.join.preferSortMergeJoin": "false",
-            "spark.shuffle.compress": "false",
-            "spark.shuffle.spill.compress": "false",
+            "spark.shuffle.compress":
+                os.environ.get("BENCH_SHUFFLE_COMPRESS", "true"),
+            "spark.shuffle.spill.compress":
+                os.environ.get("BENCH_SHUFFLE_COMPRESS", "true"),
+            # shuffle files on tmpfs when available: local-mode stand-in
+            # for a cluster node's local NVMe; decouples the measurement
+            # from the sandbox's (noisy, writeback-bound) virtio disk.
+            # Compressed shuffle for this suite peaks well under 10 GiB.
+            "spark.local.dir": os.environ.get(
+                "BENCH_LOCAL_DIR",
+                "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"),
         },
     )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

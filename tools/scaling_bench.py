@@ -39,8 +39,8 @@ spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=PARTS,
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.join.preferSortMergeJoin": "false",
-        "spark.shuffle.compress": "false",
-        "spark.shuffle.spill.compress": "false",
+        "spark.shuffle.compress": "true",
+        "spark.shuffle.spill.compress": "true",
     }})
 g = zipf_skew(spark, n=1 << 21, m=m, seed=42, directed=True).hash_partition(PARTS)
 m_actual = g.ecount()
