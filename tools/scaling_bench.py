@@ -41,6 +41,7 @@ spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=PARTS,
         "spark.sql.join.preferSortMergeJoin": "false",
         "spark.shuffle.compress": "true",
         "spark.shuffle.spill.compress": "true",
+        "spark.local.dir": "/dev/shm" if __import__("os").path.isdir("/dev/shm") else "/tmp",
     }})
 g = zipf_skew(spark, n=1 << 21, m=m, seed=42, directed=True).hash_partition(PARTS)
 m_actual = g.ecount()
