@@ -20,6 +20,10 @@ def spark():
             # (production defaults in session.py keep AQE on)
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.autoBroadcastJoinThreshold": "10MB",
+            # tmpfs scratch when available: localCheckpoint/spill never
+            # touch the (slow, noisy) sandbox disk during the suite
+            "spark.local.dir":
+                "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
         },
     )
     yield s
