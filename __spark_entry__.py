@@ -409,6 +409,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return text.token_count(d)
 
+    def q_power_law_alpha(spark, sf):
+        # continuous CSN fit at fixed xmin=10 over per-document token
+        # counts (igraph_power_law_fit semantics, closed-form alpha +
+        # KS D -- both exactly replayable in SQL)
+        from igraph_spark.functions.powerlaw import power_law_fit
+        d = _t(spark, sf, "documents")
+        toks = text.token_count(d).select(
+            F.col("n_tokens").cast("double").alias("x"))
+        res = power_law_fit(toks, "x", xmin=10.0, force_continuous=True)
+        return spark.createDataFrame(
+            [(round(res["alpha"], 9), round(res["D"], 9),
+              res["n_tail"])],
+            "alpha double, ks_d double, n_tail long")
+
     def q_quality(spark, sf):
         d = _t(spark, sf, "documents")
         return (text.quality_score(d)
@@ -1002,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "cocitation": q_cocitation,
         "jaccard": q_jaccard,
+        "power_law_alpha": q_power_law_alpha,
     }
 
 
@@ -2646,6 +2661,33 @@ FROM (SELECT source, max(dist) AS ecc FROM md GROUP BY 1)""",
         "minhash_pairs": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),
         "kcore": _kcore_oracle(12),
+        # continuous CSN power-law fit (igraph_power_law_fit) at fixed
+        # xmin: closed-form MLE alpha = 1 + n/sum(ln(x/xmin)) and KS D
+        # over the value histogram -- mirrors plfit expression for
+        # expression (plfit.c: estimate_alpha_continuous + ks_test)
+        "power_law_alpha": """
+WITH tok AS (
+  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END AS DOUBLE) AS x
+  FROM documents),
+v AS (SELECT x FROM tok WHERE x >= 10.0),
+s AS (SELECT COUNT(*) AS n, SUM(LN(x / 10.0)) AS lr FROM v),
+a AS (SELECT n, 1.0 + n / lr AS alpha FROM s),
+h AS (SELECT x, COUNT(*) AS c FROM v GROUP BY x),
+o AS (SELECT x, c,
+             COALESCE(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_below
+      FROM h),
+d AS (SELECT MAX(GREATEST(
+        ABS(1.0 - POW(10.0 / o.x, a.alpha - 1.0) - o.cum_below / a.n),
+        ABS(1.0 - POW(10.0 / o.x, a.alpha - 1.0)
+            - (o.cum_below + o.c - 1) / a.n))) AS ks
+      FROM o, a)
+SELECT round(a.alpha, 9) AS alpha, round(d.ks, 9) AS ks_d,
+       CAST(a.n AS BIGINT) AS n_tail
+FROM a, d""",
         # still rows-only (genuinely outside single-query SQL):
         #  * louvain_sizes — data-dependent level/round counts plus
         #    contraction between levels (and tie-break order inside a

@@ -146,6 +146,9 @@ from igraph_spark.algorithms.fsm import (Pattern, FrequentPattern,
     db_embeddings, shallow_support, mib_support, egobased_support,
     db_support, gspan)
 from igraph_spark.algorithms.games import moran_step, optimal_imitation
+from igraph_spark.functions.powerlaw import power_law_fit
+from igraph_spark.generators import (static_fitness_game,
+    static_power_law_game)
 from igraph_spark.algorithms.paths import (
     bfs_distances,
     get_all_simple_paths,
@@ -274,6 +277,9 @@ __all__ = [
     "Pattern", "FrequentPattern", "db_embeddings", "shallow_support",
     "mib_support", "egobased_support", "db_support", "gspan",
     "moran_step",
+    "power_law_fit",
+    "static_fitness_game",
+    "static_power_law_game",
     "optimal_imitation",
     "is_chordal",
     "maximum_cardinality_search",

@@ -932,3 +932,167 @@ def forest_fire_game(spark: SparkSession, nodes: int, fw_prob: float,
         e = e.select(F.least("src", "dst").alias("src"),
                      F.greatest("src", "dst").alias("dst"))
     return Graph(e, verts, directed=directed, _canonical=True)
+
+
+def static_fitness_game(spark: SparkSession, fitness_out,
+                        fitness_in=None, m: int = 0,
+                        loops: bool = False, multiple: bool = False,
+                        seed: int = 42) -> Graph:
+    """igraph_static_fitness_game (games.c:3523): m edges whose
+    endpoints are drawn independently with probability proportional to
+    per-vertex fitness (out-fitness for sources, in-fitness for
+    destinations; undirected when ``fitness_in`` is None).
+
+    Sampling is the reference's inverse-CDF on the cumulative fitness
+    vector, made deterministic at any parallelism: edge slot i draws
+    u = u01(xxhash64(i)) and lands on the vertex whose cumulative
+    interval contains u * total (vectorized searchsorted in an Arrow
+    pandas_udf — no per-row Python).  With ``multiple=False`` the
+    sample is oversized, loops/duplicates dropped, and the m smallest
+    surviving slot ids kept (same selection discipline as gnm).
+
+    The cumulative vector is driver-resident (one float per vertex,
+    gated at 2^24 vertices); beyond that a bucketed interval index is
+    the scale path — the DRAW itself is already fully distributed.
+    """
+    import numpy as np
+
+    f_out = np.asarray(list(fitness_out), dtype=np.float64)
+    n = len(f_out)
+    if n == 0 or m <= 0:
+        return Graph(spark.createDataFrame([], "src long, dst long"),
+                     spark.range(n).toDF("id"),
+                     directed=fitness_in is not None)
+    if n > (1 << 24):
+        raise NotImplementedError(
+            "static_fitness_game: cumulative vector gated at 2^24 "
+            "vertices; use a bucketed interval index beyond")
+    if f_out.min() < 0:
+        raise ValueError("fitness scores must be non-negative")
+    directed = fitness_in is not None
+    cum_out = np.cumsum(f_out)
+    if directed:
+        f_in = np.asarray(list(fitness_in), dtype=np.float64)
+        if len(f_in) != n:
+            raise ValueError("fitness_in length mismatch")
+        if f_in.min() < 0:
+            raise ValueError("fitness scores must be non-negative")
+        cum_in = np.cumsum(f_in)
+    else:
+        cum_in = cum_out
+    tot_out, tot_in = float(cum_out[-1]), float(cum_in[-1])
+    if tot_out <= 0 or tot_in <= 0:
+        raise ValueError("at least one positive fitness score required")
+
+    @F.pandas_udf("long")
+    def _pick_src(u: pd.Series) -> pd.Series:
+        import numpy as _np
+        return pd.Series(_np.searchsorted(
+            cum_out, u.to_numpy() * tot_out, side="right"))
+
+    @F.pandas_udf("long")
+    def _pick_dst(u: pd.Series) -> pd.Series:
+        import numpy as _np
+        return pd.Series(_np.searchsorted(
+            cum_in, u.to_numpy() * tot_in, side="right"))
+
+    def _draw(over: int):
+        base = spark.range(over)
+        return base.select(
+            "id",
+            _pick_src(_u01(F.col("id"), seed, 41)).alias("src"),
+            _pick_dst(_u01(F.col("id"), seed, 43)).alias("dst"))
+
+    if multiple:
+        cand = _draw(m)
+        if not loops:
+            # igraph redraws colliding pairs; the deterministic analog
+            # re-salts rejected slots in rounds until loop-free
+            for salt in range(45, 77, 2):
+                bad = cand.where("src = dst")
+                if bad.isEmpty():
+                    break
+                cand = cand.where("src != dst").unionByName(
+                    bad.select(
+                        "id",
+                        _pick_src(_u01(F.col("id"), seed, salt)).alias("src"),
+                        _pick_dst(_u01(F.col("id"), seed,
+                                       salt + 1)).alias("dst")))
+        e = cand.select("src", "dst")
+        if not directed:
+            e = e.select(F.least("src", "dst").alias("src"),
+                         F.greatest("src", "dst").alias("dst"))
+        return Graph(e, spark.range(n).toDF("id"), directed=directed,
+                     _canonical=False)
+
+    over = int(m * 1.25) + 16
+    for _attempt in range(8):
+        cand = _draw(over)
+        if not loops:
+            cand = cand.where("src != dst")
+        if not directed:
+            cand = cand.select("id", F.least("src", "dst").alias("src"),
+                               F.greatest("src", "dst").alias("dst"))
+        surv = cand.groupBy("src", "dst").agg(F.min("id").alias("id"))
+        bw = max(1, over // 4096)
+        hist = (surv.groupBy((F.col("id") / bw).cast("long").alias("b"))
+                .count().orderBy("b").collect())
+        total, cut_b, k_in_cut = 0, None, 0
+        for r in hist:
+            if total + r["count"] >= m:
+                cut_b, k_in_cut = int(r["b"]), m - total
+                break
+            total += int(r["count"])
+        if cut_b is None:
+            over *= 2
+            continue
+        below = surv.where(F.col("id") < cut_b * bw)
+        incut = (surv.where((F.col("id") >= cut_b * bw)
+                            & (F.col("id") < (cut_b + 1) * bw))
+                 .orderBy("id").limit(k_in_cut))
+        e = below.unionByName(incut).select("src", "dst")
+        return Graph(e, spark.range(n).toDF("id"), directed=directed,
+                     _canonical=not directed)
+    raise ValueError(f"static_fitness_game: could not draw {m} edges "
+                     f"after oversampling to {over}")
+
+
+def static_power_law_game(spark: SparkSession, n: int, m: int,
+                          exponent_out: float, exponent_in: float = -1.0,
+                          loops: bool = False, multiple: bool = False,
+                          finite_size_correction: bool = False,
+                          seed: int = 42) -> Graph:
+    """igraph_static_power_law_game (games.c:3747): static_fitness_game
+    with fitness_out[i] = j^alpha, alpha = -1/(exponent-1), j counting
+    down from n (+ the Cho et al finite-size shift when alpha < -0.5).
+    ``exponent_in < 0`` -> undirected; otherwise the in-fitness vector
+    is permuted to decorrelate in/out degree (reference shuffles with
+    its RNG; here the permutation is the xxhash64 order of the vertex
+    id — documented PRNG deviation, same policy as SIR/Moran)."""
+    import math
+
+    import numpy as np
+
+    def _fitness(exponent: float) -> "np.ndarray":
+        if exponent < 2:
+            raise ValueError("degree exponent must be >= 2")
+        alpha = 0.0 if math.isinf(exponent) else -1.0 / (exponent - 1.0)
+        j0 = float(n)
+        if finite_size_correction and alpha < -0.5:
+            j0 += (n ** (1 + 0.5 / alpha)
+                   * (10 * math.sqrt(2) * (1 + alpha)) ** (-1.0 / alpha)
+                   - 1)
+        j0 = max(j0, float(n))
+        return np.power(j0 - np.arange(n, dtype=np.float64), alpha)
+
+    f_out = _fitness(exponent_out)
+    if exponent_in < 0:
+        return static_fitness_game(spark, f_out, None, m, loops=loops,
+                                   multiple=multiple, seed=seed)
+    f_in = _fitness(exponent_in)
+    # deterministic decorrelating permutation: numpy's seeded generator
+    # (the reference shuffles in-fitness with its own RNG -- documented
+    # PRNG deviation, same policy as SIR/Moran)
+    f_in = f_in[np.random.default_rng(seed).permutation(n)]
+    return static_fitness_game(spark, f_out, f_in, m, loops=loops,
+                               multiple=multiple, seed=seed)
