@@ -147,7 +147,8 @@ from igraph_spark.algorithms.fsm import (Pattern, FrequentPattern,
     db_support, gspan)
 from igraph_spark.algorithms.games import moran_step, optimal_imitation
 from igraph_spark.functions.powerlaw import power_law_fit
-from igraph_spark.functions.nongraph import convex_hull, running_mean
+from igraph_spark.functions.nongraph import (convex_hull, running_mean,
+    random_sample)
 from igraph_spark.generators import (static_fitness_game,
     static_power_law_game)
 from igraph_spark.algorithms.paths import (
@@ -281,6 +282,7 @@ __all__ = [
     "power_law_fit",
     "convex_hull",
     "running_mean",
+    "random_sample",
     "static_fitness_game",
     "static_power_law_game",
     "optimal_imitation",

@@ -1,7 +1,8 @@
-"""Non-graph utilities: convex hull and running mean.
+"""Non-graph utilities: convex hull, running mean, random sample.
 
 Reference: igraph_convex_hull (/root/reference/src/other.c:121, Graham
-scan, CLRS §33.3) and igraph_running_mean (other.c:57).
+scan, CLRS §33.3), igraph_running_mean (other.c:57), and
+igraph_random_sample (random.c:1015).
 
 Hull output order replicates the reference exactly (verified against
 all four examples/simple/igraph_convex_hull.out fixtures): start at
@@ -26,7 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["convex_hull", "running_mean"]
+__all__ = ["convex_hull", "running_mean", "random_sample"]
 
 
 def _graham_scan_reference(pts: np.ndarray) -> list[int]:
@@ -156,3 +157,36 @@ def running_mean(data: DataFrame, col: str, binwidth: int,
     if data.count() < binwidth:
         raise ValueError("vector too short for this binwidth")
     return out
+
+
+def random_sample(spark, l: int, h: int, length: int,
+                  seed: int = 42) -> DataFrame:
+    """igraph_random_sample (random.c:1015, Vitter 1987): ``length``
+    distinct integers drawn uniformly from [l, h] -> DataFrame(value),
+    increasing under ``orderBy("value")``.
+
+    Vitter's sequential skip-sampling is O(length) regardless of the
+    interval size; the distributed deterministic analog draws hashed
+    candidates per slot (O(length) work, any parallelism), dedups, and
+    keeps ``length`` survivors by hash priority — exchangeability of
+    the priorities makes the kept subset uniform without replacement.
+    """
+    n_pool = h - l + 1
+    if l > h:
+        raise ValueError("lower limit greater than upper limit")
+    if length > n_pool:
+        raise ValueError("sample size exceeds candidate pool")
+    over = int(length * 1.25) + 16
+    for _attempt in range(12):
+        cand = (spark.range(over)
+                .select((F.pmod(F.xxhash64("id", F.lit(seed), F.lit(3)),
+                                F.lit(n_pool)) + F.lit(l)).alias("value"))
+                .distinct())
+        if cand.count() >= length:
+            return (cand
+                    .orderBy(F.xxhash64("value", F.lit(seed), F.lit(5)),
+                             "value")
+                    .limit(length)
+                    .select("value"))
+        over *= 2
+    raise ValueError(f"random_sample: undersampled after {over} draws")

@@ -74,3 +74,24 @@ def test_running_mean_too_short(spark):
     df = spark.createDataFrame([(0, 1.0)], "pos long, v double")
     with pytest.raises(ValueError):
         running_mean(df, "v", 5, "pos")
+
+
+def test_random_sample(spark):
+    from igraph_spark.functions.nongraph import random_sample
+    vals = [r["value"] for r in
+            random_sample(spark, 10, 10009, 100, seed=3)
+            .orderBy("value").collect()]
+    assert len(vals) == len(set(vals)) == 100
+    assert all(10 <= v <= 10009 for v in vals)
+    assert vals == sorted(vals)
+    # deterministic
+    again = [r["value"] for r in
+             random_sample(spark, 10, 10009, 100, seed=3)
+             .orderBy("value").collect()]
+    assert vals == again
+    # exhaustive case: sample size == pool size
+    full = [r["value"] for r in
+            random_sample(spark, 5, 14, 10).orderBy("value").collect()]
+    assert full == list(range(5, 15))
+    with pytest.raises(ValueError):
+        random_sample(spark, 5, 6, 10)
