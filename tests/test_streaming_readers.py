@@ -102,7 +102,14 @@ def test_ncol_reader(spark, tmp_path):
 
 
 def test_read_graph_dispatch(spark, tmp_path):
-    with pytest.raises(NotImplementedError):
-        read_graph(spark, "x", "graphdb")
+    # graphdb gained a real reader this round: dispatch round-trips
+    from igraph_spark.sources.readers import write_graphdb
+    g = Graph(spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long"),
+              spark.range(3).toDF("id"), directed=False)
+    p = str(tmp_path / "tiny.graphdb")
+    write_graphdb(g, p)
+    rt = read_graph(spark, p, "graphdb")
+    assert sorted(map(tuple, rt.edges.select("src", "dst").collect())) == \
+        [(0, 1), (1, 2)]
     with pytest.raises(ValueError):
         read_graph(spark, "x", "nope")
