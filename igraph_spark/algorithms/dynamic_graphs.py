@@ -85,6 +85,14 @@ def union_graph_projection(e1: DataFrame, e2: DataFrame,
     inputs (an ``ecolor`` column on both sides) combine base
     (max_ecolor+1)."""
     c1 = ECOLOR in e1.columns
+    c2 = ECOLOR in e2.columns
+    if c1 != c2:
+        # the reference asserts edge colors on BOTH graphs of the pair
+        # (dynamic.c union projection); silently presence-coding one
+        # colored side would discard its colors.
+        raise ValueError("union_graph_projection: 'ecolor' must be "
+                         "present on both snapshots or neither "
+                         f"(e1: {c1}, e2: {c2})")
     a = e1.select(SRC, DST, *( [F.col(ECOLOR).alias("ec1")] if c1
                                else [F.lit(1).alias("ec1")] ))
     b = e2.select(SRC, DST, *( [F.col(ECOLOR).alias("ec2")] if c1

@@ -145,6 +145,13 @@ def db_embeddings(edges: DataFrame, pattern: Pattern,
     if getattr(edges, "_fsm_prepared", False):
         e = edges          # already oriented/distinct/cached by gspan()
     else:
+        # Direct (non-gspan) calls get a LAZY oriented table — no
+        # persist, so repeated mib_support/shallow_support calls leak
+        # no cached blocks.  Within one action Catalyst reuses the
+        # distinct's Exchange across the self-joins (ReusedExchange);
+        # callers running MANY patterns should pre-prepare + persist
+        # the table themselves the way gspan() does (see gspan:~310),
+        # then unpersist when done.
         e = edges.select(GID, SRC, DST, *([ECOLOR] if has_ecol else []))
         e = e.where(F.col(SRC) != F.col(DST))
         if not pattern.directed:
@@ -152,7 +159,7 @@ def db_embeddings(edges: DataFrame, pattern: Pattern,
                             F.col(SRC).alias(DST),
                             *([ECOLOR] if has_ecol else []))
             e = e.unionByName(flip)
-        e = e.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        e = e.distinct()
 
     def edge_view(a, b):
         ev = e

@@ -142,8 +142,11 @@ def power_law_fit(data: DataFrame, col: str = "value",
     by MLE (closed form continuous, likelihood maximization discrete);
     ``xmin=None`` scans the distinct sample values and keeps the one
     minimizing the KS statistic D (plfit_continuous / plfit_discrete);
-    finite-size correction alpha <- alpha*(n-1)/n + 1/n when the tail
-    holds < 50 samples; p = Q(D*sqrt(n_tail)).
+    finite-size correction alpha <- alpha*(m-1)/m + 1/m (m = tail
+    size, plfit.c:118) applied when the TOTAL sample count is < 50
+    (other.c:321 gates on n, not the tail), with L recomputed from the
+    corrected alpha (plfit.c:258-262 corrects before computing L);
+    p = Q(D*sqrt(n_tail)).
 
     ``max_xmin_candidates`` bounds the discrete scan (each candidate
     costs a golden-section zeta optimization): above it the candidates
@@ -199,8 +202,21 @@ def power_law_fit(data: DataFrame, col: str = "value",
                 best = (alpha, d, ll, n, float(xm))
         alpha, d, ll, n_tail, best_xmin = best
 
-    if n_tail < 50:  # plfit_i_perform_finite_size_correction
+    # igraph gates the correction on the TOTAL sample count (other.c:321
+    # `finite_size_correction = (n < 50)`), while the correction formula
+    # itself uses the tail size (plfit.c:118); plfit then recomputes the
+    # log-likelihood from the CORRECTED alpha (plfit.c:258-262).
+    if int(cs_all.sum()) < 50:
         alpha = alpha * (n_tail - 1) / n_tail + 1.0 / n_tail
+        mask = xs_all >= best_xmin
+        xs_t, cs_t = xs_all[mask], cs_all[mask]
+        logsum = float((cs_t * np.log(xs_t)).sum())
+        if discrete:
+            ll = -(alpha * logsum + n_tail * math.log(
+                float(hurwitz_zeta(alpha, np.array([best_xmin]))[0])))
+        else:
+            lr = logsum - n_tail * math.log(best_xmin)
+            ll = n_tail * math.log((alpha - 1.0) / best_xmin) - alpha * lr
     return {"continuous": not discrete, "alpha": float(alpha),
             "xmin": float(best_xmin), "L": float(ll), "D": float(d),
             "p": kolmogorov_p(d, n_tail), "n_tail": int(n_tail)}

@@ -1064,11 +1064,13 @@ def static_power_law_game(spark: SparkSession, n: int, m: int,
                           seed: int = 42) -> Graph:
     """igraph_static_power_law_game (games.c:3747): static_fitness_game
     with fitness_out[i] = j^alpha, alpha = -1/(exponent-1), j counting
-    down from n (+ the Cho et al finite-size shift when alpha < -0.5).
+    down from n (+ the Cho et al finite-size shift when alpha < -0.5,
+    clamped to j >= n exactly as the reference does at games.c:3779).
     ``exponent_in < 0`` -> undirected; otherwise the in-fitness vector
-    is permuted to decorrelate in/out degree (reference shuffles with
-    its RNG; here the permutation is the xxhash64 order of the vertex
-    id — documented PRNG deviation, same policy as SIR/Moran)."""
+    is permuted to decorrelate in/out degree (the reference shuffles
+    with its own RNG, games.c:3807; here it is a numpy seeded-generator
+    permutation — documented PRNG deviation, same policy as SIR/
+    Moran)."""
     import math
 
     import numpy as np

@@ -704,14 +704,31 @@ def read_graphdb_db(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             out_gid, out_src, out_dst = [], [], []
             for gid, blob in zip(pdf["path"], pdf["content"]):
+                # igraph_read_graph_graphdb raises "Truncated graphdb
+                # file" (foreign.c) rather than keeping a prefix.
+                # (A zero-byte file never reaches here: the binaryFile
+                # source skips empty files at listing time.)
+                if len(blob) % 2:
+                    raise ValueError(
+                        f"Truncated graphdb file (odd byte count): {gid}")
                 words = np.frombuffer(blob, dtype="<u2").astype("int64")
+                if len(words) == 0:
+                    raise ValueError(
+                        f"Truncated graphdb file (empty): {gid}")
                 pos = 0
                 n = int(words[pos]); pos += 1
                 for i in range(n):
                     if pos >= len(words):
-                        break       # truncated file: keep prefix, like
-                    deg = int(words[pos]); pos += 1   # the reference
+                        raise ValueError(
+                            f"Truncated graphdb file: {gid} (word "
+                            f"stream ended at vertex {i} of {n})")
+                    deg = int(words[pos]); pos += 1
                     tgts = words[pos:pos + deg]
+                    if len(tgts) < deg:
+                        raise ValueError(
+                            f"Truncated graphdb file: {gid} (vertex "
+                            f"{i} declares {deg} targets, "
+                            f"{len(tgts)} present)")
                     pos += deg
                     out_gid.extend([gid] * len(tgts))
                     out_src.extend([i] * len(tgts))

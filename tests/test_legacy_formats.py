@@ -287,6 +287,35 @@ def test_graphdb_db_directory(spark, tmp_path):
     assert per == {"a.graph": 2, "b.graph": 1}
 
 
+def test_graphdb_truncated_raises(spark, tmp_path):
+    """igraph_read_graph_graphdb raises 'Truncated graphdb file'
+    (foreign.c) instead of keeping a parseable prefix; so do we, with
+    the file named in the error — for empty blobs, a word stream that
+    ends before all vertices are read, and a vertex whose declared
+    target count overruns the stream."""
+    import struct
+    import pytest
+    from igraph_spark.sources.readers import read_graphdb
+
+    cases = {
+        # odd-length blob (a zero-byte file is skipped by the
+        # binaryFile source itself, so 1 byte is the smallest
+        # observable truncation)
+        "empty.graph": b"\x01",
+        # declares 3 vertices, stream ends after vertex 0
+        "short.graph": struct.pack("<H", 3) + struct.pack("<HHH", 2, 1, 2),
+        # vertex 0 declares 5 targets, only 2 present
+        "overrun.graph": struct.pack("<H", 1) + struct.pack("<HHH", 5, 1, 2),
+    }
+    for name, blob in cases.items():
+        p = tmp_path / name
+        p.write_bytes(blob)
+        with pytest.raises(Exception) as ei:
+            read_graphdb(spark, str(p), directed=True).edges.collect()
+        msg = str(ei.value)
+        assert "Truncated graphdb file" in msg and name in msg
+
+
 def test_write_colored_graph(spark, tmp_path):
     from igraph_spark.graph import Graph
     from igraph_spark.sources.readers import write_colored_graph

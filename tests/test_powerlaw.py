@@ -78,6 +78,32 @@ def test_continuous_fit_auto_xmin(spark):
     assert res["alpha"] == pytest.approx(2.8, abs=0.25)
 
 
+def test_finite_size_correction_gates_on_total_n(spark):
+    """igraph gates the correction on TOTAL n < 50 (other.c:321), uses
+    the tail size in the formula (plfit.c:118), and recomputes L from
+    the corrected alpha (plfit.c:258-262)."""
+    rng = np.random.default_rng(5)
+    # large total sample, small tail above a forced xmin: NO correction
+    xs = 1.0 / np.power(rng.random(400), 1.0 / 1.5)
+    df = spark.createDataFrame([(float(x),) for x in xs], "value double")
+    big_xmin = float(np.sort(xs)[-30])  # tail of 30 < 50, total 400 >= 50
+    res = power_law_fit(df, "value", xmin=big_xmin, force_continuous=True)
+    assert res["n_tail"] < 50
+    alpha_b, _, n_b = _brute_fit_continuous(xs, big_xmin)
+    assert res["alpha"] == pytest.approx(alpha_b, rel=1e-9)  # uncorrected
+
+    # small total sample: correction applied, L recomputed post-hoc
+    xs2 = 1.0 / np.power(rng.random(30), 1.0 / 1.5)
+    df2 = spark.createDataFrame([(float(x),) for x in xs2], "value double")
+    res2 = power_law_fit(df2, "value", xmin=1.0, force_continuous=True)
+    alpha_raw, _, n2 = _brute_fit_continuous(xs2, 1.0)
+    alpha_corr = alpha_raw * (n2 - 1) / n2 + 1.0 / n2
+    assert res2["alpha"] == pytest.approx(alpha_corr, rel=1e-9)
+    lr = float(np.log(xs2 / 1.0).sum())
+    l_corr = n2 * np.log((alpha_corr - 1.0) / 1.0) - alpha_corr * lr
+    assert res2["L"] == pytest.approx(l_corr, rel=1e-9)
+
+
 def test_discrete_fit_zeta_mle(spark):
     # zeta(alpha=2.5) samples via rejection-free inverse CDF on a
     # truncated support, deterministic
