@@ -14,8 +14,19 @@ Sections (each timed end-to-end, action included):
   * cocitation / agg / topk — relational operators at $SPARK_GRAFT_SF_DIR.
   * dedup_minhash / token_count / ann — documents/embeddings pipeline ops.
 
+Noise robustness (round-3 verdict: a single contended sample recorded
+a phantom 2x regression): the suite runs BENCH_SAMPLES times (default
+3, oldest-first) inside one SparkSession with a short cooldown between
+samples, and the headline "queries" dict is the PER-QUERY MINIMUM
+across samples — the best observed time is the engine, the rest is the
+host.  The JSON line carries every sample and os.getloadavg() at
+launch and before each sample so a contended run is self-diagnosing.
+BENCH_BUDGET_SEC (default 1500) stops sampling early if the next
+sample would overrun the budget.
+
 Scale knobs via env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
-BENCH_EDGES (default 5,000,000), BENCH_N (default 1,048,576).
+BENCH_EDGES (default 10,000,000), BENCH_N (default 2,097,152),
+BENCH_SAMPLES, BENCH_BUDGET_SEC.
 """
 
 from __future__ import annotations
@@ -43,6 +54,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 M_EDGES = int(os.environ.get("BENCH_EDGES", 10_000_000))
 N_VERTS = int(os.environ.get("BENCH_N", 1 << 21))
 SUPERSTEPS = int(os.environ.get("BENCH_SUPERSTEPS", 10))
+SAMPLES = int(os.environ.get("BENCH_SAMPLES", 3))
+BUDGET_SEC = float(os.environ.get("BENCH_BUDGET_SEC", 1500))
 
 
 def main() -> None:
@@ -89,70 +102,84 @@ def main() -> None:
         },
     )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    queries: dict[str, float] = {}
-    extra: dict[str, float] = {}
 
-    def timed(name: str, fn):
-        t0 = time.monotonic()
-        out = fn()
-        dt = time.monotonic() - t0
-        queries[name] = round(dt, 3)
-        return out
-
-    # ---- the BASELINE graph: Zipf-skewed, deterministic ----------------
+    # ---- one-time setup (outside every timed region) --------------------
+    # the BASELINE graph: Zipf-skewed, deterministic
     g = zipf_skew(spark, n=N_VERTS, m=M_EDGES, alpha=2.0, seed=42,
                   directed=True).hash_partition(parts)
     m_actual = g.ecount()  # materializes the partitioned cache
-
-    def run_pagerank():
-        return pagerank(g, damping=0.85, tol=0.0, max_iter=SUPERSTEPS,
-                        check_every=5, num_partitions=parts).count()
-
-    timed("pagerank_supersteps", run_pagerank)
-    extra["edges_per_sec_per_superstep"] = round(
-        m_actual * SUPERSTEPS / queries["pagerank_supersteps"], 1)
-    extra["bench_edges"] = m_actual
-
-    timed("wcc", lambda: connected_components(g, "weak", max_iter=40)
-          .select("component").distinct().count())
-
     tri_g = gnm(spark, n=6000, m=500_000, seed=42, directed=False)
-    timed("triangles", lambda: triangles_df(tri_g).count())
-
-    timed("lpa", lambda: label_propagation(g, max_iter=6)
-          .select("label").distinct().count())
-
-    # ---- relational operators over the sf tables -----------------------
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-
-    def run_cocitation():
-        from igraph_spark.graph import Graph
-        e = (orders.join(lineitem,
-                         orders["o_orderkey"] == lineitem["l_orderkey"])
-             .select((F.col("o_custkey") * 2).alias("src"),
-                     (F.col("l_suppkey") * 2 + 1).alias("dst")).distinct())
-        return similarity.cocitation(Graph(e, directed=True)).count()
-
-    timed("cocitation", run_cocitation)
-
-    timed("agg_lineitem", lambda: (
-        lineitem.groupBy("l_returnflag", "l_linestatus")
-        .agg(F.sum("l_quantity"), F.count("*"),
-             F.countDistinct("l_partkey")).count()))
-
-    # ---- documents / embeddings pipeline -------------------------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    timed("token_count", lambda: text.token_count(docs)
-          .agg(F.sum("n_tokens")).count())
-    timed("dedup_exact", lambda: dedup.exact_duplicates(docs).count())
-    timed("dedup_minhash", lambda: dedup.minhash_lsh_pairs(
-        docs, threshold=0.5).count())
-
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    timed("ann_topk", lambda: ann.cosine_topk_bruteforce(
-        emb, emb.where("vec_id < 32"), k=10).count())
 
+    def run_sample() -> dict[str, float]:
+        queries: dict[str, float] = {}
+
+        def timed(name: str, fn):
+            t0 = time.monotonic()
+            out = fn()
+            queries[name] = round(time.monotonic() - t0, 3)
+            return out
+
+        timed("pagerank_supersteps",
+              lambda: pagerank(g, damping=0.85, tol=0.0,
+                               max_iter=SUPERSTEPS, check_every=5,
+                               num_partitions=parts).count())
+
+        timed("wcc", lambda: connected_components(g, "weak", max_iter=40)
+              .select("component").distinct().count())
+
+        timed("triangles", lambda: triangles_df(tri_g).count())
+
+        timed("lpa", lambda: label_propagation(g, max_iter=6)
+              .select("label").distinct().count())
+
+        # ---- relational operators over the sf tables -------------------
+        def run_cocitation():
+            from igraph_spark.graph import Graph
+            e = (orders.join(lineitem,
+                             orders["o_orderkey"] == lineitem["l_orderkey"])
+                 .select((F.col("o_custkey") * 2).alias("src"),
+                         (F.col("l_suppkey") * 2 + 1).alias("dst"))
+                 .distinct())
+            return similarity.cocitation(Graph(e, directed=True)).count()
+
+        timed("cocitation", run_cocitation)
+
+        timed("agg_lineitem", lambda: (
+            lineitem.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.count("*"),
+                 F.countDistinct("l_partkey")).count()))
+
+        # ---- documents / embeddings pipeline ----------------------------
+        timed("token_count", lambda: text.token_count(docs)
+              .agg(F.sum("n_tokens")).count())
+        timed("dedup_exact", lambda: dedup.exact_duplicates(docs).count())
+        timed("dedup_minhash", lambda: dedup.minhash_lsh_pairs(
+            docs, threshold=0.5).count())
+
+        timed("ann_topk", lambda: ann.cosine_topk_bruteforce(
+            emb, emb.where("vec_id < 32"), k=10).count())
+        return queries
+
+    # ---- sample loop: min-of-N is the headline --------------------------
+    t_start = time.monotonic()
+    samples: list[dict[str, float]] = []
+    loadavgs: list[list[float]] = [
+        [round(x, 2) for x in os.getloadavg()]]
+    while len(samples) < SAMPLES:
+        samples.append(run_sample())
+        elapsed = time.monotonic() - t_start
+        last = sum(samples[-1].values())
+        if len(samples) < SAMPLES:
+            if elapsed + last > BUDGET_SEC:
+                break               # next sample would overrun the budget
+            time.sleep(2.0)         # cooldown: let the OS drain writeback
+            loadavgs.append([round(x, 2) for x in os.getloadavg()])
+
+    queries = {k: min(s[k] for s in samples) for k in samples[0]}
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_sec",
@@ -160,7 +187,13 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": sf,
-        **extra,
+        "n_samples": len(samples),
+        "samples": samples,
+        "sample_totals": [round(sum(s.values()), 3) for s in samples],
+        "loadavg_at_launch": loadavgs,
+        "edges_per_sec_per_superstep": round(
+            m_actual * SUPERSTEPS / queries["pagerank_supersteps"], 1),
+        "bench_edges": m_actual,
     }))
     spark.stop()
 
