@@ -117,7 +117,7 @@ def rhp_near_dup_pairs(embeddings: DataFrame, dim: int,
                        planes_per_band: int = 3, n_bands: int = 24,
                        seed: int = 42, id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | str | None = "auto") -> DataFrame:
     """LSH-fronted near-duplicate pairs -> (a, b, cosine), a < b.
 
     OR-amplified random-hyperplane blocking: ``n_bands`` independent
@@ -132,9 +132,13 @@ def rhp_near_dup_pairs(embeddings: DataFrame, dim: int,
     candidate volume.  This is the scale path the brute-force
     ``cosine_near_dup_pairs`` is the exactness baseline for.
 
-    ``max_bucket``: optional per-(band, bucket) cap — the hot-bucket
-    skew guardrail (None = uncapped; pass ~1000-5000 at corpus scale).
+    ``max_bucket``: per-(band, bucket) cap — the hot-bucket skew
+    guardrail.  Default "auto" = 4096, ON (benign corpora never reach
+    it; see dedup.minhash_lsh_pairs for the recall trade when it
+    bites).  Pass an int to tune or None for uncapped candidates.
     """
+    from igraph_spark.functions.dedup import _resolve_max_bucket
+    max_bucket = _resolve_max_bucket(max_bucket)
     planes = _hyperplanes(dim, planes_per_band * n_bands, seed)
     base = embeddings.select(F.col(id_col).alias("vec_id"),
                              F.col(vec_col).alias("v"),

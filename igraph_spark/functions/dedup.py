@@ -41,6 +41,21 @@ def _cap_hot_buckets(buckets: DataFrame, id_col: str, band_col: str,
     return (buckets.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= max_bucket).drop("_rn"))
 
+
+# default per-(band, bucket) cap for max_bucket="auto": generous enough
+# that benign corpora never hit it (recall unchanged — a bucket only
+# reaches 4096 members when its contents are near-identical anyway, and
+# those stay transitively connected through the kept members), small
+# enough that a pathological hot bucket costs bands * 4096^2 ~ 10^8
+# candidates instead of 10^12+.
+AUTO_MAX_BUCKET = 4096
+
+
+def _resolve_max_bucket(max_bucket) -> int | None:
+    if max_bucket == "auto":
+        return AUTO_MAX_BUCKET
+    return max_bucket
+
 # Mersenne prime 2^31-1: keeps a*x within int64 under ANSI mode
 MERSENNE31 = (1 << 31) - 1
 
@@ -129,7 +144,7 @@ def minhash_lsh_pairs(docs: DataFrame, col: str = "text",
                       num_hashes: int = 32, bands: int = 8,
                       shingle: int = 5, threshold: float = 0.6,
                       seed: int = 42, hash: str = "xxhash64",
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | str | None = "auto") -> DataFrame:
     """Near-duplicate pairs via banded LSH -> (a, b, jaccard_est).
 
     Bands of r = num_hashes/bands rows; docs sharing any band bucket
@@ -138,13 +153,19 @@ def minhash_lsh_pairs(docs: DataFrame, col: str = "text",
     hash='md5_32' both the shingle hash and the band-bucket key are
     md5-derived, so the whole pipeline is replayable in DuckDB.
 
-    ``max_bucket``: optional per-(band, bucket) membership cap (see
+    ``max_bucket``: per-(band, bucket) membership cap (see
     ``_cap_hot_buckets``) — the skew guardrail for corpora where a
     hot bucket of near-identical docs would otherwise explode the
-    candidate self-join quadratically.  None (default) = uncapped
-    exact-candidate behavior; at 100 TB pass ~1000-5000.
+    candidate self-join quadratically.  Default "auto" = 4096, ON —
+    a naive caller at corpus scale gets the guardrail for free, and
+    benign corpora never reach it so recall is unchanged.  Recall
+    trade when it DOES bite: pairs between two docs both evicted from
+    every shared band are lost, but eviction order rotates per band
+    and kept members still connect dedup clusters transitively.  Pass
+    an int to tune, or None for exact uncapped candidates.
     """
     assert num_hashes % bands == 0
+    max_bucket = _resolve_max_bucket(max_bucket)
     r = num_hashes // bands
     sigs = minhash_signatures(docs, col, num_hashes, shingle, seed,
                               hash).persist()

@@ -34,8 +34,23 @@ def test_minhash_cap_bounds_candidates(spark):
 
 def test_minhash_cap_none_is_exact(spark):
     docs = _hot_docs(spark, 20)
-    un = minhash_lsh_pairs(docs, bands=8, threshold=0.0)
+    un = minhash_lsh_pairs(docs, bands=8, threshold=0.0, max_bucket=None)
     assert un.count() == 20 * 19 // 2
+
+
+def test_default_cap_is_on_and_transparent_below_threshold(spark):
+    """max_bucket defaults to 'auto' (= 4096): a naive caller gets the
+    skew guardrail without asking, and on a benign corpus (buckets far
+    below the cap) the result is identical to uncapped."""
+    from igraph_spark.functions.dedup import (AUTO_MAX_BUCKET,
+                                              _resolve_max_bucket)
+    assert _resolve_max_bucket("auto") == AUTO_MAX_BUCKET == 4096
+    assert _resolve_max_bucket(None) is None
+    assert _resolve_max_bucket(17) == 17
+
+    docs = _hot_docs(spark, 20)
+    default = minhash_lsh_pairs(docs, bands=8, threshold=0.0)
+    assert default.count() == 20 * 19 // 2  # == uncapped below the cap
 
 
 def test_rhp_cap_bounds_candidates(spark):
