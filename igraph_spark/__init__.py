@@ -36,6 +36,10 @@ from igraph_spark.algorithms.triangles import (
     list_triangles,
 )
 from igraph_spark.algorithms.kcore import coreness
+from igraph_spark.algorithms.weighted_centrality import (
+    betweenness_weighted,
+    closeness_weighted,
+)
 from igraph_spark.algorithms.betweenness import (
     betweenness,
     edge_betweenness,
@@ -182,6 +186,8 @@ __all__ = [
     "list_triangles",
     "coreness",
     "betweenness",
+    "betweenness_weighted",
+    "closeness_weighted",
     "edge_betweenness",
     "girvan_newman",
     "maximal_cliques",

@@ -189,8 +189,14 @@ def betweenness(graph: Graph, sources=None, directed: bool | None = None,
                 max_depth: int = 10000,
                 auto_sample_threshold: int = AUTO_SAMPLE_VCOUNT,
                 sample_size: int = DEFAULT_SAMPLE_SIZE,
-                seed: int = 42) -> DataFrame:
+                seed: int = 42,
+                weights: bool | str | None = None) -> DataFrame:
     """-> DataFrame(id, betweenness).
+
+    ``weights``: None/False = unweighted Brandes (below); True or a
+    column name dispatches to the Dijkstra-Brandes analog
+    (weighted_centrality.betweenness_weighted, ref
+    centrality.c:1767-1900) with the same sampling guardrail.
 
     ``sources``: optional iterable/DataFrame of source ids — all
     vertices by default (exact); a subset gives the Brandes estimator
@@ -216,6 +222,14 @@ def betweenness(graph: Graph, sources=None, directed: bool | None = None,
     there (the estimator is the documented large-graph mode, like
     igraph_betweenness_estimate).
     """
+    if weights:
+        from igraph_spark.algorithms.weighted_centrality import (
+            betweenness_weighted)
+        return betweenness_weighted(
+            graph, sources=sources, directed=directed,
+            weight_col=weights if isinstance(weights, str) else "weight",
+            auto_sample_threshold=auto_sample_threshold,
+            sample_size=sample_size, seed=seed)
     use_directed = graph.directed if directed is None else directed
     scale_up = 1.0
     if sources is None:

@@ -559,7 +559,8 @@ def eccentricity(graph: Graph, mode: str = "all") -> DataFrame:
 
 def closeness(graph: Graph, mode: str = "out",
               auto_sample_threshold: int | None = None,
-              sample_size: int = 256, seed: int = 42) -> DataFrame:
+              sample_size: int = 256, seed: int = 42,
+              weights: bool | str | None = None) -> DataFrame:
     """Closeness centrality (igraph_closeness, centrality.c:2473):
     (n_reached - 1) normalized by the sum of distances to reached
     vertices -> DataFrame(id, closeness).  igraph 0.7 divides by
@@ -573,7 +574,19 @@ def closeness(graph: Graph, mode: str = "out",
     the pivots in the inverse direction (one multi-source pass,
     O(sample_size * V) state), closeness(v) = the same reached/total
     ratio restricted to the pivot set.  Exact on distance-regular
-    targets (e.g. complete graphs); ratio-consistent in general."""
+    targets (e.g. complete graphs); ratio-consistent in general.
+
+    ``weights``: True or a column name dispatches to the weighted
+    analog (weighted_centrality.closeness_weighted, Dijkstra-based
+    per the reference), same pivot guardrail."""
+    if weights:
+        from igraph_spark.algorithms.weighted_centrality import (
+            closeness_weighted)
+        return closeness_weighted(
+            graph, mode=mode,
+            weight_col=weights if isinstance(weights, str) else "weight",
+            auto_sample_threshold=auto_sample_threshold,
+            sample_size=sample_size, seed=seed)
     from igraph_spark.algorithms.betweenness import (
         AUTO_SAMPLE_VCOUNT, sample_sources)
     if auto_sample_threshold is None:

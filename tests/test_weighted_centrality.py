@@ -1,0 +1,186 @@
+"""Weighted betweenness/closeness vs an independent in-test
+Dijkstra-Brandes oracle (pure Python, heap-based — the reference's own
+algorithm shape, centrality.c:1767-1900)."""
+
+import heapq
+import math
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from igraph_spark.graph import Graph
+from igraph_spark.algorithms.betweenness import betweenness
+from igraph_spark.algorithms.paths import closeness
+from igraph_spark.algorithms.weighted_centrality import (
+    betweenness_weighted, closeness_weighted)
+
+
+def _brandes_weighted(n, edges, directed):
+    """Textbook Dijkstra-Brandes: edges = [(u, v, w)]."""
+    adj = defaultdict(list)
+    for u, v, w in edges:
+        adj[u].append((v, w))
+        if not directed:
+            adj[v].append((u, w))
+    bc = defaultdict(float)
+    for s in range(n):
+        dist = {s: 0.0}
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        preds = defaultdict(list)
+        order = []
+        pq = [(0.0, s)]
+        done = set()
+        while pq:
+            d, u = heapq.heappop(pq)
+            if u in done:
+                continue
+            done.add(u)
+            order.append(u)
+            for v, w in adj[u]:
+                nd = d + w
+                if v not in dist or nd < dist[v] - 1e-12:
+                    dist[v] = nd
+                    sigma[v] = sigma[u]
+                    preds[v] = [u]
+                    heapq.heappush(pq, (nd, v))
+                elif abs(nd - dist[v]) <= 1e-12 and u != v:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        delta = defaultdict(float)
+        for w_ in reversed(order):
+            for u in preds[w_]:
+                delta[u] += sigma[u] / sigma[w_] * (1.0 + delta[w_])
+            if w_ != s:
+                bc[w_] += delta[w_]
+    scale = 1.0 if directed else 0.5
+    return {v: bc[v] * scale for v in range(n)}
+
+
+def _closeness_weighted_py(n, edges, directed, mode="out"):
+    adj = defaultdict(list)
+    for u, v, w in edges:
+        if not directed or mode == "all":
+            adj[u].append((v, w))
+            adj[v].append((u, w))
+        elif mode == "out":
+            adj[u].append((v, w))
+        else:  # in
+            adj[v].append((u, w))
+    out = {}
+    for s in range(n):
+        dist = {s: 0.0}
+        pq = [(0.0, s)]
+        done = set()
+        while pq:
+            d, u = heapq.heappop(pq)
+            if u in done:
+                continue
+            done.add(u)
+            for v, w in adj[u]:
+                nd = d + w
+                if v not in dist or nd < dist[v]:
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        tot = sum(d for v, d in dist.items() if v != s)
+        reached = sum(1 for v in dist if v != s)
+        if reached:
+            out[s] = reached / tot
+    return out
+
+
+# a weighted graph with genuinely path-splitting geodesics: two
+# equal-cost routes 0->1->3 (2+1) and 0->2->3 (1+2), a heavy direct
+# edge 0->3 (5) that is NOT on a geodesic, plus a tail
+WEDGES = [(0, 1, 2.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 2.0),
+          (0, 3, 5.0), (3, 4, 1.0), (4, 5, 3.0), (2, 5, 7.0)]
+N = 6
+
+
+@pytest.fixture(scope="module")
+def wgraph(spark):
+    e = spark.createDataFrame([(u, v, w) for u, v, w in WEDGES],
+                              "src long, dst long, weight double")
+    v = spark.range(N).toDF("id")
+    return Graph(e, v, directed=True)
+
+
+@pytest.fixture(scope="module")
+def wgraph_und(spark):
+    e = spark.createDataFrame([(u, v, w) for u, v, w in WEDGES],
+                              "src long, dst long, weight double")
+    v = spark.range(N).toDF("id")
+    return Graph(e, v, directed=False)
+
+
+def test_betweenness_weighted_directed(wgraph):
+    got = {r["id"]: r["betweenness"]
+           for r in betweenness_weighted(wgraph).collect()}
+    exp = _brandes_weighted(N, WEDGES, directed=True)
+    assert set(got) == set(range(N))
+    for v in range(N):
+        assert got[v] == pytest.approx(exp[v], abs=1e-9), f"vertex {v}"
+
+
+def test_betweenness_weighted_undirected(wgraph_und):
+    got = {r["id"]: r["betweenness"]
+           for r in betweenness_weighted(wgraph_und).collect()}
+    exp = _brandes_weighted(N, WEDGES, directed=False)
+    for v in range(N):
+        assert got[v] == pytest.approx(exp[v], abs=1e-9), f"vertex {v}"
+
+
+def test_unit_weights_match_unweighted(spark):
+    # G(n,m)-ish deterministic graph; weight 1.0 everywhere ->
+    # Dijkstra-Brandes must equal BFS-Brandes exactly
+    rows = [((i * 7) % 23, (i * 11 + 3) % 23) for i in range(60)]
+    rows = [(u, v) for u, v in rows if u != v]
+    e = spark.createDataFrame(rows, "src long, dst long") \
+        .withColumn("weight", F.lit(1.0)).distinct()
+    g = Graph(e, spark.range(23).toDF("id"), directed=True)
+    unw = {r["id"]: r["betweenness"] for r in betweenness(g).collect()}
+    wtd = {r["id"]: r["betweenness"]
+           for r in betweenness(g, weights=True).collect()}
+    assert set(unw) == set(wtd)
+    for v, x in unw.items():
+        assert wtd[v] == pytest.approx(x, abs=1e-9), f"vertex {v}"
+
+
+def test_closeness_weighted_out(wgraph):
+    got = {r["id"]: r["closeness"]
+           for r in closeness_weighted(wgraph, mode="out").collect()}
+    exp = _closeness_weighted_py(N, WEDGES, directed=True, mode="out")
+    assert set(got) == set(exp)
+    for v, x in exp.items():
+        assert got[v] == pytest.approx(x, abs=1e-12), f"vertex {v}"
+
+
+def test_closeness_weighted_in_and_all(wgraph):
+    for mode in ("in", "all"):
+        got = {r["id"]: r["closeness"]
+               for r in closeness(wgraph, mode=mode, weights=True)
+               .collect()}
+        exp = _closeness_weighted_py(N, WEDGES, directed=True, mode=mode)
+        assert set(got) == set(exp), mode
+        for v, x in exp.items():
+            assert got[v] == pytest.approx(x, abs=1e-12), (mode, v)
+
+
+def test_weighted_sampled_guardrail(wgraph):
+    # force the sampled path: threshold below vcount, sample = all
+    # vertices -> estimator with k = n is exact (scale_up = 1)
+    out = betweenness_weighted(wgraph, auto_sample_threshold=2,
+                               sample_size=N)
+    exp = _brandes_weighted(N, WEDGES, directed=True)
+    got = {r["id"]: r["betweenness"] for r in out.collect()}
+    for v in range(N):
+        assert got[v] == pytest.approx(exp[v], abs=1e-9)
+
+
+def test_nonpositive_weight_raises(spark):
+    e = spark.createDataFrame([(0, 1, 0.0)],
+                              "src long, dst long, weight double")
+    g = Graph(e, spark.range(2).toDF("id"), directed=True)
+    with pytest.raises(ValueError, match="positive"):
+        betweenness_weighted(g)
