@@ -296,13 +296,110 @@ def gomory_hu_tree(graph: Graph, weights: bool | None = None) -> DataFrame:
         "src long, dst long, flow double")
 
 
-def mincut(graph: Graph, weights: bool | None = None) -> dict:
+def _stoer_wagner(n: int, idx_w: dict) -> tuple[float, set]:
+    """Stoer-Wagner minimum cut on a collected symmetric weight map
+    {(i, j): w} over vertices 0..n-1 (Stoer & Wagner, JACM 44, 1997 —
+    the algorithm the reference uses for the undirected case,
+    flow.c:1194 igraph_i_mincut_undirected).  O(V) minimum-cut phases,
+    each a lazy-deletion-heap maximum-adjacency sweep; the last two
+    vertices of a phase merge.  Returns (value, one side as a set of
+    0..n-1 indices)."""
+    import heapq
+    adj = [dict() for _ in range(n)]
+    for (i, j), w in idx_w.items():
+        adj[i][j] = adj[i].get(j, 0.0) + w
+        adj[j][i] = adj[j].get(i, 0.0) + w
+    merged = [{i} for i in range(n)]           # original ids per supernode
+    alive = set(range(n))
+    best_val, best_side = float("inf"), set()
+    while len(alive) > 1:
+        # --- one minimum-cut phase: maximum adjacency order ---
+        start = next(iter(alive))
+        in_a = {start}
+        wsum = {v: adj[start].get(v, 0.0) for v in alive if v != start}
+        heap = [(-w, v) for v, w in wsum.items()]
+        heapq.heapify(heap)
+        order = [start]
+        while len(in_a) < len(alive):
+            v = None
+            while heap:
+                negw, cand_v = heapq.heappop(heap)
+                if (cand_v in alive and cand_v not in in_a
+                        and -negw == wsum.get(cand_v)):
+                    v = cand_v
+                    break
+            if v is None:   # disconnected within alive: weight-0 pick
+                v = next(u for u in alive if u not in in_a)
+            in_a.add(v)
+            order.append(v)
+            for u, w in adj[v].items():
+                if u in alive and u not in in_a:
+                    wsum[u] = wsum.get(u, 0.0) + w
+                    heapq.heappush(heap, (-wsum[u], u))
+        t = order[-1]
+        s_last = order[-2]
+        cut_of_phase = sum(w for u, w in adj[t].items() if u in alive)
+        if cut_of_phase < best_val:
+            best_val, best_side = cut_of_phase, set(merged[t])
+        # --- merge t into s_last ---
+        for u, w in adj[t].items():
+            if u == s_last or u not in alive:
+                continue
+            adj[s_last][u] = adj[s_last].get(u, 0.0) + w
+            adj[u][s_last] = adj[u].get(s_last, 0.0) + w
+            adj[u].pop(t, None)
+        adj[s_last].pop(t, None)
+        merged[s_last] |= merged[t]
+        alive.remove(t)
+    return best_val, best_side
+
+
+def _mincut_undirected_sw(graph: Graph, weights: bool | None) -> dict:
+    """Driver-gated Stoer-Wagner global mincut for undirected graphs —
+    O(V) merge phases instead of the n-1 maxflow probes, exactly the
+    reference's undirected strategy (flow.c:1194).  Same return shape
+    as ``maxflow``/``mincut``: side 0 = the side holding the minimum
+    vertex id; ``cut`` keeps the original edge orientations/caps."""
+    spark = graph.edges.sparkSession
+    use_w = graph.has_weights if weights is None else bool(weights)
+    e = graph.weighted_edges() if use_w else \
+        graph.edges.select(SRC, DST).withColumn(WEIGHT, F.lit(1.0))
+    rows = [(int(r[SRC]), int(r[DST]), float(r[WEIGHT]))
+            for r in e.where(F.col(SRC) != F.col(DST)).collect()]
+    ids = sorted(int(r[0]) for r in graph.vertices.select(ID).collect())
+    if len(ids) < 2:
+        return None
+    pos = {v: i for i, v in enumerate(ids)}
+    idx_w: dict = {}
+    for u, v, w in rows:
+        key = (min(pos[u], pos[v]), max(pos[u], pos[v]))
+        idx_w[key] = idx_w.get(key, 0.0) + w
+    value, side = _stoer_wagner(len(ids), idx_w)
+    side_ids = {ids[i] for i in side}
+    if ids[0] not in side_ids:           # side 0 = min-id side
+        side_ids = set(ids) - side_ids
+    part = spark.createDataFrame(
+        [(v, 0 if v in side_ids else 1) for v in ids], "id long, side int")
+    cut_rows = [(u, v, w) for u, v, w in rows
+                if (u in side_ids) != (v in side_ids)]
+    cut = spark.createDataFrame(cut_rows or [],
+                                "src long, dst long, cap double")
+    return {"value": float(value), "partition": part, "cut": cut}
+
+
+def mincut(graph: Graph, weights: bool | None = None,
+           driver_threshold: int = DRIVER_FLOW_ARCS) -> dict:
     """Global minimum cut (igraph_mincut, flow.c:1615).
 
-    Undirected: min over t of the s-t mincut with s fixed to the minimum
-    vertex id (any global cut separates s from some t).  Directed
-    (igraph_i_mincut_directed): a global cut has s on either side, so
-    probe BOTH (s,t) and (t,s) per candidate t."""
+    Undirected: Stoer-Wagner (flow.c:1194, O(V) merge phases) when the
+    edge list fits the driver gate — the reference's own undirected
+    strategy; above the gate, the n-1 maxflow-probe reduction over the
+    distributed Edmonds-Karp (min over t of the s-t mincut with s fixed
+    to the minimum vertex id).  Directed (igraph_i_mincut_directed): a
+    global cut has s on either side, so probe BOTH (s,t) and (t,s) per
+    candidate t."""
+    if not graph.directed and graph.ecount() <= driver_threshold:
+        return _mincut_undirected_sw(graph, weights)
     ids = [int(r[0]) for r in graph.vertices.select(ID).orderBy(ID)
            .collect()]
     s = ids[0]

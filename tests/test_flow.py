@@ -82,3 +82,57 @@ def test_needs_residual_back_edge(spark):
     edges = [(0, 1), (1, 2), (2, 3), (0, 2), (1, 3)]
     g = Graph.from_edge_list(spark, edges, n=4, directed=True)
     assert maxflow(g, 0, 3)["value"] == 2.0
+
+
+def test_mincut_sw_equals_probe_loop(spark):
+    """The Stoer-Wagner path (default for undirected) and the maxflow
+    probe loop (forced via driver_threshold=-1) must agree on value on
+    weighted and unweighted graphs, including a disconnected one."""
+    cases = [
+        # reference fixture graph
+        ([(0, 1), (0, 4), (1, 2), (1, 4), (1, 5), (2, 3), (2, 6),
+          (3, 6), (3, 7), (4, 5), (5, 6), (6, 7)],
+         [2.0, 3.0, 3.0, 2.0, 2.0, 4.0, 2.0, 2.0, 2.0, 3.0, 1.0, 3.0], 8),
+        # barbell (unweighted): bridge mincut 1
+        ([(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)],
+         None, 6),
+        # disconnected: mincut 0
+        ([(0, 1), (2, 3)], None, 4),
+    ]
+    for edges, w, n in cases:
+        g = Graph.from_edge_list(spark, edges, n=n, directed=False,
+                                 weights=w)
+        sw = mincut(g)
+        probe = mincut(g, driver_threshold=-1)
+        assert sw["value"] == probe["value"], (edges, w)
+        # the SW partition must actually realize the value
+        side0 = {x.id for x in sw["partition"].where("side=0").collect()}
+        ww = w or [1.0] * len(edges)
+        crossing = sum(cw for (u, v), cw in zip(edges, ww)
+                       if (u in side0) != (v in side0))
+        assert crossing == sw["value"]
+
+
+def test_mincut_sw_random_vs_bruteforce(spark):
+    """Deterministic pseudo-random weighted graph: SW value == brute
+    force over all 2^(n-1) bipartitions."""
+    import itertools
+    n = 9
+    edges, w = [], []
+    for u in range(n):
+        for v in range(u + 1, n):
+            h = (u * 31 + v * 17) % 7
+            if h < 4:
+                edges.append((u, v))
+                w.append(float(1 + (u * 13 + v * 5) % 6))
+    g = Graph.from_edge_list(spark, edges, n=n, directed=False, weights=w)
+    r = mincut(g)
+    best = float("inf")
+    for mask in range(1, 1 << (n - 1)):   # vertex 0 fixed on side A
+        side = {0} | {v for v in range(1, n) if mask & (1 << (v - 1))}
+        if len(side) == n:
+            continue
+        cost = sum(cw for (u, v), cw in zip(edges, w)
+                   if (u in side) != (v in side))
+        best = min(best, cost)
+    assert r["value"] == best
