@@ -5,10 +5,10 @@ The reference's iterative solvers double-buffer two dense state vectors
 analog (north rule): an iterative loop over immutable vertex-state
 DataFrames, where each superstep
 
-  * persists the new state and unpersists state from two rounds ago,
-  * truncates lineage every ``checkpoint_every`` supersteps
-    (``localCheckpoint`` — without it the plan grows linearly and the
-    driver melts after ~50 rounds),
+  * truncates lineage EVERY superstep (``localCheckpoint``) and
+    unpersists the caller's cache of the superseded state — see the
+    comment in ``advance`` for why per-round truncation beats periodic
+    truncation + CacheManager reliance in between,
   * optionally writes a durable checkpoint: state parquet +
     ``manifest.json`` carrying the superstep id, per-partition lineage
     (row count + order-insensitive xxhash64 digest per partition) and
@@ -144,22 +144,24 @@ class SuperstepRunner:
             new_state.unpersist()
             self._prune_states(keep=path)
             out = reloaded
-        elif (step + 1) % self.checkpoint_every == 0:
-            # a BSP round typically references the previous state more
-            # than once (update + convergence metric), so the Catalyst
-            # plan DOUBLES per un-truncated round; localCheckpoint every
-            # checkpoint_every rounds caps the fan-out at
-            # 2^checkpoint_every subtrees (keep it <= ~5)
-            out = new_state.localCheckpoint(eager=True)
-            new_state.unpersist()
-        elif new_state.storageLevel != StorageLevel.NONE:
-            # caller already persisted (and materialized via its own
-            # convergence aggregate) — re-persisting would only emit
-            # "already cached" noise and a redundant count
-            out = new_state
         else:
-            out = new_state.persist(self.storage)
-            out.count()  # materialize so the old state can be dropped
+            # lineage truncation EVERY superstep.  Relying on persist +
+            # CacheManager between periodic checkpoints looks cheaper
+            # but is not: once a state plan's leaf is a localCheckpoint
+            # LogicalRDD, the CacheManager's sameResult lookup fails on
+            # re-reference (the self-join dedup re-instances the leaf
+            # and its outputPartitioning doesn't canonicalize), so each
+            # post-checkpoint superstep silently recomputed every
+            # shuffle back to the last checkpoint.  Event-log profile
+            # at 10M edges: shuffle/superstep grew 128->256->384->513->
+            # 641 MB across supersteps 5-9 under every-5th truncation;
+            # truncating every round holds it flat at 128 MB and runs
+            # 10 pagerank supersteps in 29 s vs 44-69 s (and removes
+            # the GC amplification that made bench samples swing 2x).
+            # The extra cost is one cache->RDD copy of the O(V) state.
+            out = new_state.localCheckpoint(eager=True)
+            if new_state.storageLevel != StorageLevel.NONE:
+                new_state.unpersist()
         if self._prev is not None:
             self._prev.unpersist()
         self._prev = out
