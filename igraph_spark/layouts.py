@@ -18,6 +18,89 @@ from pyspark.sql import DataFrame, Window, functions as F
 from igraph_spark.graph import Graph, SRC, DST, ID
 
 
+def _force_table(pos: DataFrame, sym: DataFrame, k: float, ascale: float,
+                 repulsion: str, cell_factor: float) -> DataFrame:
+    """One force evaluation -> DataFrame(i, fx, fy): FR repulsion
+    ``k^2/d`` between pairs + attraction ``d^2/k`` (scaled by
+    ``ascale``) along edges.
+
+    ``repulsion="exact"``: the all-pairs cross-join aggregate with the
+    edge term fused in (the reference FR loop's own O(n^2) round,
+    layout.c).
+
+    ``repulsion="grid"``: the FR paper's grid variant, which is also
+    the shape of DrL's density grid (/root/reference/src/
+    DensityGrid.cpp — short-range repulsion from a spatial bin
+    structure): positions are binned into cells of side
+    ``cell_factor * k``; repulsion is computed EXACTLY against every
+    vertex in the surrounding 3x3 cell block (so every pair closer
+    than one cell side is included) and is zero beyond — ``k^2/d``
+    decays fast enough that the truncated tail only loses the weak
+    global expansion pressure.  Execution shape: the j-side is
+    replicated into its 9 neighbor cells (two explodes), then a plain
+    equi-join on the cell key + hash aggregate — O(n * occupancy)
+    rows, no cross join, and the cell key join parallelizes on any
+    cluster.  Attraction runs as a separate O(m) edge join (edges may
+    span cells).
+    """
+    a = pos.select(F.col(ID).alias("i"), F.col("x").alias("xi"),
+                   F.col("y").alias("yi"))
+    b = pos.select(F.col(ID).alias("j"), F.col("x").alias("xj"),
+                   F.col("y").alias("yj"))
+    dx, dy = F.col("xi") - F.col("xj"), F.col("yi") - F.col("yj")
+    d2 = dx * dx + dy * dy + F.lit(1e-9)
+    d = F.sqrt(d2)
+    if repulsion == "exact":
+        fpx = (dx / d2 * (k * k)
+               + F.when(F.col("is_e"),
+                        -dx * d / k * F.lit(ascale)).otherwise(0.0))
+        fpy = (dy / d2 * (k * k)
+               + F.when(F.col("is_e"),
+                        -dy * d / k * F.lit(ascale)).otherwise(0.0))
+        return (a.crossJoin(b).where(F.col("i") != F.col("j"))
+                .join(sym, ["i", "j"], "left")
+                .withColumn("is_e", F.coalesce("is_e", F.lit(False)))
+                .groupBy("i")
+                .agg(F.sum(fpx).alias("fx"), F.sum(fpy).alias("fy")))
+    if repulsion != "grid":
+        raise ValueError(f"unknown repulsion mode {repulsion!r}")
+    s = float(cell_factor * k)
+    ca = a.select("i", "xi", "yi",
+                  F.floor(F.col("xi") / s).alias("cx"),
+                  F.floor(F.col("yi") / s).alias("cy"))
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    cb = (b.select("j", "xj", "yj",
+                   F.floor(F.col("xj") / s).alias("bx"),
+                   F.floor(F.col("yj") / s).alias("by"),
+                   F.explode(off).alias("ox"))
+          .select("j", "xj", "yj", "bx", "by", "ox",
+                  F.explode(off).alias("oy"))
+          .select("j", "xj", "yj",
+                  (F.col("bx") + F.col("ox")).alias("cx"),
+                  (F.col("by") + F.col("oy")).alias("cy")))
+    rep = (ca.join(cb, ["cx", "cy"]).where(F.col("i") != F.col("j"))
+           .groupBy("i")
+           .agg(F.sum(dx / d2 * (k * k)).alias("fx"),
+                F.sum(dy / d2 * (k * k)).alias("fy")))
+    att = (sym.select("i", "j")
+           .join(a, "i").join(b, "j")
+           .groupBy("i")
+           .agg(F.sum(-dx * d / k * F.lit(ascale)).alias("fx"),
+                F.sum(-dy * d / k * F.lit(ascale)).alias("fy")))
+    return (rep.unionByName(att).groupBy("i")
+            .agg(F.sum("fx").alias("fx"), F.sum("fy").alias("fy")))
+
+
+def _resolve_repulsion(repulsion: str, n: int,
+                       exact_threshold: int = 4096) -> str:
+    """``auto`` -> exact below ``exact_threshold`` vertices (cheap and
+    deterministic at fixture scale), grid above (the 100x-scale path:
+    O(n) per round instead of O(n^2))."""
+    if repulsion == "auto":
+        return "exact" if n <= exact_threshold else "grid"
+    return repulsion
+
+
 def _ranked(graph: Graph) -> DataFrame:
     """(id, rank) with rank = 0-based position in ascending id order
     (the reference places vertices in vertex-id order).  The global
@@ -54,14 +137,20 @@ def layout_random(graph: Graph, seed: int = 42) -> DataFrame:
 
 
 def layout_fruchterman_reingold(graph: Graph, iterations: int = 50,
-                                seed: int = 42) -> DataFrame:
+                                seed: int = 42, repulsion: str = "auto",
+                                cell_factor: float = 2.0) -> DataFrame:
     """igraph_layout_fruchterman_reingold -> DataFrame(id, x, y).
 
     Classic FR: repulsion k^2/d between all pairs, attraction d^2/k
     along edges, displacement capped by a linearly cooling temperature.
-    Each iteration = one cross-join aggregate + one edge aggregate —
-    O(n^2) work per round exactly like the reference; test/moderate
-    scale by nature (layouts are for graphs you can draw).
+
+    ``repulsion``: "exact" = the reference's all-pairs O(n^2) round;
+    "grid" = the FR paper's own grid variant (short-range repulsion
+    within a 3x3 block of cells of side ``cell_factor * k``), O(n *
+    occupancy) per round — the 100x-scale path; "auto" (default)
+    picks exact below 4096 vertices and grid above.  A large
+    ``cell_factor`` makes grid degenerate to exact (every pair lands
+    in the neighborhood), which the tolerance test exploits.
     """
     from igraph_spark.checkpointing import SuperstepRunner
     spark = graph.edges.sparkSession
@@ -75,35 +164,18 @@ def layout_fruchterman_reingold(graph: Graph, iterations: int = 50,
                    F.lit(True).alias("is_e"))
            .localCheckpoint(eager=True))
 
+    mode = _resolve_repulsion(repulsion, n)
     runner = SuperstepRunner(spark, checkpoint_every=5)
     pos, start, _ = runner.start(
         layout_random(graph, seed),
         params={"algo": "fr", "seed": seed, "iters": iterations})
     for it in range(start, iterations):
         temp = 0.1 * (1.0 - it / iterations) + 1e-6
-        # ONE all-pairs pass per round: repulsion for every pair plus
-        # attraction where the pair is an edge; the move is applied in
+        # one force pass per round (exact: fused all-pairs aggregate;
+        # grid: cell-key equi-join + edge join); the move is applied in
         # the same projection over aggregated force columns, and the
-        # runner owns persist/rotation + lineage truncation (the same
-        # discipline every BSP loop here uses — ad-hoc per-round
-        # localCheckpoint chains measured super-linear growth after
-        # ~15 rounds)
-        a = pos.select(F.col(ID).alias("i"), F.col("x").alias("xi"),
-                       F.col("y").alias("yi"))
-        b = pos.select(F.col(ID).alias("j"), F.col("x").alias("xj"),
-                       F.col("y").alias("yj"))
-        dx, dy = F.col("xi") - F.col("xj"), F.col("yi") - F.col("yj")
-        d2 = dx * dx + dy * dy + F.lit(1e-9)
-        d = F.sqrt(d2)
-        fpx = (dx / d2 * (k * k)
-               + F.when(F.col("is_e"), -dx * d / k).otherwise(0.0))
-        fpy = (dy / d2 * (k * k)
-               + F.when(F.col("is_e"), -dy * d / k).otherwise(0.0))
-        forces = (a.crossJoin(b).where(F.col("i") != F.col("j"))
-                  .join(sym, ["i", "j"], "left")
-                  .withColumn("is_e", F.coalesce("is_e", F.lit(False)))
-                  .groupBy("i")
-                  .agg(F.sum(fpx).alias("fx"), F.sum(fpy).alias("fy")))
+        # runner owns persist/rotation + lineage truncation
+        forces = _force_table(pos, sym, k, 1.0, mode, cell_factor)
         mag = F.sqrt(F.col("fx") * F.col("fx")
                      + F.col("fy") * F.col("fy")) + F.lit(1e-12)
         step = F.least(mag, F.lit(temp))
@@ -323,18 +395,21 @@ def layout_sugiyama(graph: Graph, layers: DataFrame | None = None,
 
 
 def layout_drl(graph: Graph, iterations: int = 60,
-               seed: int = 42) -> DataFrame:
+               seed: int = 42, repulsion: str = "auto",
+               cell_factor: float = 2.0) -> DataFrame:
     """igraph_layout_drl (/root/reference/src/drl_layout.cpp:87,
     drl_graph.cpp) -> DataFrame(id, x, y).
 
     DrL is a phased force scheduler over an FR-style kernel: liquid ->
     expansion -> cool-down -> crunch -> simmer, each phase with its own
     temperature and attraction scaling (drl_parse.cpp default
-    schedule).  This build drives the SAME BSP all-pairs force round as
-    layout_fruchterman_reingold through DrL's phase schedule; the
-    reference's density-grid approximate repulsion is replaced by the
-    exact aggregate (layouts run at drawable scale, where exact is both
-    cheaper and deterministic).  Edge cutting is not implemented."""
+    schedule).  This build drives the shared force round
+    (``_force_table``) through DrL's phase schedule.  ``repulsion=
+    "grid"`` is the analog of the reference's own DensityGrid
+    short-range repulsion (/root/reference/src/DensityGrid.cpp) —
+    cell-binned, O(n * occupancy) per round; "exact" is the all-pairs
+    aggregate; "auto" (default) switches at 4096 vertices.  Edge
+    cutting is not implemented."""
     from igraph_spark.checkpointing import SuperstepRunner
     spark = graph.edges.sparkSession
     n = max(graph.vcount(), 1)
@@ -357,6 +432,7 @@ def layout_drl(graph: Graph, iterations: int = 60,
                                                           * iterations)))
     schedule = schedule[:max(iterations, len(phases))]
 
+    mode = _resolve_repulsion(repulsion, n)
     runner = SuperstepRunner(spark, checkpoint_every=5)
     pos, start, _ = runner.start(
         layout_random(graph, seed),
@@ -365,24 +441,7 @@ def layout_drl(graph: Graph, iterations: int = 60,
         tscale, ascale = schedule[it]
         frac = 1.0 - it / len(schedule)
         temp = 0.1 * tscale * frac + 1e-6
-        a = pos.select(F.col(ID).alias("i"), F.col("x").alias("xi"),
-                       F.col("y").alias("yi"))
-        b = pos.select(F.col(ID).alias("j"), F.col("x").alias("xj"),
-                       F.col("y").alias("yj"))
-        dx, dy = F.col("xi") - F.col("xj"), F.col("yi") - F.col("yj")
-        d2 = dx * dx + dy * dy + F.lit(1e-9)
-        d = F.sqrt(d2)
-        fpx = (dx / d2 * (k * k)
-               + F.when(F.col("is_e"),
-                        -dx * d / k * F.lit(ascale)).otherwise(0.0))
-        fpy = (dy / d2 * (k * k)
-               + F.when(F.col("is_e"),
-                        -dy * d / k * F.lit(ascale)).otherwise(0.0))
-        forces = (a.crossJoin(b).where(F.col("i") != F.col("j"))
-                  .join(sym, ["i", "j"], "left")
-                  .withColumn("is_e", F.coalesce("is_e", F.lit(False)))
-                  .groupBy("i")
-                  .agg(F.sum(fpx).alias("fx"), F.sum(fpy).alias("fy")))
+        forces = _force_table(pos, sym, k, ascale, mode, cell_factor)
         mag = F.sqrt(F.col("fx") * F.col("fx")
                      + F.col("fy") * F.col("fy")) + F.lit(1e-12)
         step = F.least(mag, F.lit(temp))

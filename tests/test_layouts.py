@@ -199,3 +199,60 @@ def test_davidson_harel_gate(spark):
     g = famous(spark, "petersen")
     with pytest.raises(ValueError, match="sequential"):
         layout_davidson_harel(g, vertex_threshold=5)
+
+
+# ------------------------------------------------- grid repulsion
+
+
+def test_fr_grid_degenerates_to_exact_with_huge_cells(spark):
+    """cell_factor large enough that the 3x3 neighborhood covers the
+    whole layout -> the grid path computes the same pair set as exact;
+    coordinates must agree to float-sum tolerance."""
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    g = Graph.from_edge_list(spark, edges, n=6, directed=False)
+    ex = {r.id: (r.x, r.y)
+          for r in layout_fruchterman_reingold(
+              g, iterations=12, repulsion="exact").collect()}
+    gr = {r.id: (r.x, r.y)
+          for r in layout_fruchterman_reingold(
+              g, iterations=12, repulsion="grid",
+              cell_factor=1e6).collect()}
+    assert ex.keys() == gr.keys()
+    for v in ex:
+        assert math.dist(ex[v], gr[v]) < 1e-6, (v, ex[v], gr[v])
+
+
+def test_fr_grid_default_cells_separates_cliques(spark):
+    """The production grid (cell_factor=2, short-range repulsion only)
+    still pushes disconnected cliques apart."""
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    g = Graph.from_edge_list(spark, edges, n=6, directed=False)
+    pos = {r.id: (r.x, r.y)
+           for r in layout_fruchterman_reingold(
+               g, iterations=25, repulsion="grid").collect()}
+
+    def dist(a, b):
+        return math.dist(pos[a], pos[b])
+
+    intra = (dist(0, 1) + dist(1, 2) + dist(0, 2)
+             + dist(3, 4) + dist(4, 5) + dist(3, 5)) / 6
+    inter = sum(dist(a, b) for a in (0, 1, 2) for b in (3, 4, 5)) / 9
+    assert inter > 1.5 * intra, (intra, inter)
+
+
+def test_drl_grid_runs_and_is_finite(spark):
+    from igraph_spark.layouts import layout_drl
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    g = Graph.from_edge_list(spark, edges, n=4, directed=False)
+    rows = layout_drl(g, iterations=8, repulsion="grid").collect()
+    assert len(rows) == 4
+    assert all(math.isfinite(r.x) and math.isfinite(r.y) for r in rows)
+
+
+def test_fr_grid_scale_smoke(spark):
+    """The 100x path: a 50k-vertex ring runs bounded grid rounds (the
+    exact path at this size would be 2.5e9 pairs per round)."""
+    g = ring(spark, 50_000)
+    rows = (layout_fruchterman_reingold(g, iterations=2, repulsion="grid")
+            .count())
+    assert rows == 50_000
