@@ -374,6 +374,182 @@ def disjoint_graphs(spark: SparkSession, graphs: list[Graph]) -> Graph:
     return g
 
 
+def _vl_connected_sample(degs, seed: int) -> list:
+    """Viger-Latapy connected simple-graph sampler (driver core).
+
+    The reference pipeline (/root/reference/src/gengraph_mr-connected.cpp
+    :30-80, igraph_degree_sequence_game_vl): realize the sequence as a
+    simple graph, merge components with degree-preserving swaps
+    (graph_molloy_opt::make_connected), then mix with ~5m double-edge
+    swaps, keeping connectivity via Gkantsidis-style windows
+    (gengraph_graph_molloy_hash.cpp shuffle heuristics): apply a window
+    of K blind swaps, test connectivity once, revert the window and
+    halve K on failure, grow K on success.
+
+    Driver-gated by the caller — the sampler is inherently sequential
+    (each swap's validity depends on the full current edge set), the
+    same shape as the reference's own single-threaded gengraph.  PRNG
+    is numpy's seeded generator (documented deviation, same policy as
+    SIR/forest-fire).  Returns a list of (src, dst) with src < dst.
+    """
+    import numpy as np
+    degs = np.asarray(degs, dtype=np.int64)
+    n = len(degs)
+    if (degs < 0).any():
+        raise ValueError("degrees must be non-negative")
+    if int(degs.sum()) % 2:
+        raise ValueError("sum(degrees) must be even")
+    if n and (degs == 0).any():
+        raise ValueError(
+            "method='vl' requires every degree >= 1 (a zero-degree "
+            "vertex cannot join the connected graph; the reference's "
+            "make_connected step fails the same way)")
+    m = int(degs.sum()) // 2
+    if n and m < n - 1:
+        raise ValueError(
+            f"sum(degrees)/2 = {m} < n-1 = {n - 1}: no connected graph "
+            f"realizes this sequence")
+    if n == 0:
+        return []
+
+    # --- Havel-Hakimi realization (simple, deterministic) -------------
+    import heapq
+    heap = [(-int(d), i) for i, d in enumerate(degs)]
+    heapq.heapify(heap)
+    adj: dict[int, set] = {i: set() for i in range(n)}
+    edges: set = set()
+    while heap:
+        d, v = heapq.heappop(heap)
+        d = -d
+        if d == 0:
+            continue
+        grabbed = []
+        while len(grabbed) < d:
+            if not heap:
+                raise ValueError("degree sequence is not graphical")
+            du, u = heapq.heappop(heap)
+            grabbed.append((-du, u))
+        for du, u in grabbed:
+            if du == 0:
+                raise ValueError("degree sequence is not graphical")
+            a, b = (v, u) if v < u else (u, v)
+            edges.add((a, b))
+            adj[v].add(u)
+            adj[u].add(v)
+            if du - 1 > 0:
+                heapq.heappush(heap, (-(du - 1), u))
+
+    rng = np.random.default_rng(seed)
+
+    def components() -> list:
+        comp = [-1] * n
+        out = []
+        for s in range(n):
+            if comp[s] != -1:
+                continue
+            stack, members = [s], [s]
+            comp[s] = s
+            while stack:
+                x = stack.pop()
+                for y in adj[x]:
+                    if comp[y] == -1:
+                        comp[y] = s
+                        stack.append(y)
+                        members.append(y)
+            out.append(members)
+        return out
+
+    def is_connected() -> bool:
+        seen = bytearray(n)
+        stack = [0]
+        seen[0] = 1
+        cnt = 1
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if not seen[y]:
+                    seen[y] = 1
+                    cnt += 1
+                    stack.append(y)
+        return cnt == n
+
+    def drop(a, b):
+        edges.discard((a, b) if a < b else (b, a))
+        adj[a].discard(b)
+        adj[b].discard(a)
+
+    def put(a, b):
+        edges.add((a, b) if a < b else (b, a))
+        adj[a].add(b)
+        adj[b].add(a)
+
+    # --- make_connected: cross-component swaps ------------------------
+    comps = sorted(components(), key=len, reverse=True)
+    for small in comps[1:]:
+        # any edge of the small component x any edge of the (growing)
+        # giant: endpoints are disjoint across components, so the swap
+        # (a,b),(c,d) -> (a,c),(b,d) can never create a loop or
+        # multi-edge — it always merges the two components
+        a = small[0]
+        b = next(iter(adj[a]))
+        giant = set(comps[0])
+        c = d = -1
+        for (c, d) in edges:
+            if c in giant:
+                break
+        drop(a, b)
+        drop(c, d)
+        put(a, c)
+        put(b, d)
+        comps[0].extend(small)
+
+    # --- shuffle: 5m swaps in Gkantsidis windows ----------------------
+    target = 5 * m
+    done = 0
+    K = max(1, m // 8)
+    budget = 50 * target  # hard bound on attempts incl. reverted windows
+    elist = list(edges)
+    while done < target and budget > 0:
+        w = min(K, target - done)
+        undo = []
+        for _ in range(w):
+            budget -= 1
+            i = int(rng.integers(0, len(elist)))
+            j = int(rng.integers(0, len(elist)))
+            if i == j:
+                continue
+            u, v = elist[i]
+            x, y = elist[j]
+            if int(rng.integers(0, 2)):
+                x, y = y, x
+            # (u,v),(x,y) -> (u,y),(x,v)
+            if u == y or x == v:
+                continue
+            e1 = (u, y) if u < y else (y, u)
+            e2 = (x, v) if x < v else (v, x)
+            if e1 in edges or e2 in edges:
+                continue
+            drop(u, v)
+            drop(x, y)
+            put(*e1)
+            put(*e2)
+            elist[i], elist[j] = e1, e2
+            undo.append((i, j, (u, v), (x, y), e1, e2))
+        if is_connected():
+            done += w
+            K += max(1, K // 10)
+        else:
+            for i, j, old1, old2, e1, e2 in reversed(undo):
+                drop(*e1)
+                drop(*e2)
+                put(*old1)
+                put(*old2)
+                elist[i], elist[j] = (tuple(sorted(old1)),
+                                      tuple(sorted(old2)))
+            K = max(1, K // 2)
+    return sorted(edges)
+
+
 def degree_sequence_game(spark: SparkSession, out_deg, in_deg=None,
                          seed: int = 42, method: str = "configuration",
                          max_repair_rounds: int = 30) -> Graph:
@@ -417,6 +593,9 @@ def degree_sequence_game(spark: SparkSession, out_deg, in_deg=None,
                 .toDF("id long, r long"))
 
     if directed:
+        if method == "vl":
+            raise ValueError("method='vl' requires an undirected degree "
+                             "sequence (games.c:1267-1277)")
         if isinstance(in_deg, (list, tuple)):
             in_df = spark.createDataFrame(
                 [(i, int(d)) for i, d in enumerate(in_deg)],
@@ -437,6 +616,22 @@ def degree_sequence_game(spark: SparkSession, out_deg, in_deg=None,
     total = out_df.agg(F.sum("deg")).first()[0] or 0
     if total % 2:
         raise ValueError("sum(degrees) must be even")
+    if method == "vl":
+        # Viger-Latapy connected sampler — driver-gated (the swap-MCMC
+        # core is inherently sequential, like the reference's gengraph);
+        # at corpus scale use method='simple' + explicit connectivity
+        # handling instead
+        if total > 2_000_000:
+            raise ValueError(
+                f"method='vl' is driver-gated at 2M stubs (got {total}); "
+                f"use method='simple' for the distributed path")
+        rows = out_df.orderBy("id").collect()
+        ids = [r["id"] for r in rows]
+        vl_edges = _vl_connected_sample([r["deg"] for r in rows], seed)
+        e = spark.createDataFrame(
+            [(ids[a], ids[b]) for a, b in vl_edges] or [],
+            "src long, dst long")
+        return Graph(e, out_df.select("id"), directed=False)
     ranked = _ranked_stubs(out_df, 0)
     half = ranked.select("id", (F.col("r") / 2).cast("long").alias("p"),
                          (F.col("r") % 2).alias("side"))

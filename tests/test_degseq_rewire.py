@@ -81,3 +81,81 @@ def test_rewire_preserves_degrees_and_simplicity(spark):
     orig = set(tuple(sorted((r_.src, r_.dst))) for r_ in k.edges.collect())
     new = set(tuple(sorted((r_.a, r_.b))) for r_ in e.collect())
     assert orig != new
+
+
+# ------------------------------------------------- Viger-Latapy (vl)
+
+
+def _vl_graph(spark, degs, seed=42):
+    from igraph_spark.generators import degree_sequence_game
+    return degree_sequence_game(spark, degs, seed=seed, method="vl")
+
+
+def test_vl_exact_degrees_simple_connected(spark):
+    degs = [3, 3, 2, 2, 2, 2, 1, 1, 2, 2]
+    g = _vl_graph(spark, degs)
+    rows = g.edges.collect()
+    # simple: no loops, no multi-edges
+    pairs = [tuple(sorted((r.src, r.dst))) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(a != b for a, b in pairs)
+    # exact degree sequence
+    from collections import Counter
+    c = Counter()
+    for a, b in pairs:
+        c[a] += 1
+        c[b] += 1
+    assert [c[i] for i in range(len(degs))] == degs
+    # connected
+    from igraph_spark.algorithms.components import connected_components
+    ncomp = (connected_components(g, "weak")
+             .select("component").distinct().count())
+    assert ncomp == 1
+
+
+def test_vl_deterministic_and_seed_sensitive(spark):
+    degs = [2, 2, 2, 2, 3, 3, 2, 2]
+    a = sorted((r.src, r.dst) for r in _vl_graph(spark, degs, 7).edges.collect())
+    b = sorted((r.src, r.dst) for r in _vl_graph(spark, degs, 7).edges.collect())
+    assert a == b
+    # a different seed should (with overwhelming probability) differ
+    c = sorted((r.src, r.dst) for r in _vl_graph(spark, degs, 8).edges.collect())
+    assert a != c
+
+
+def test_vl_rejects_bad_sequences(spark):
+    import pytest
+    from igraph_spark.generators import degree_sequence_game
+    with pytest.raises(ValueError):  # odd sum
+        _vl_graph(spark, [3, 2])
+    with pytest.raises(ValueError):  # not graphical
+        _vl_graph(spark, [5, 1, 1, 1])
+    with pytest.raises(ValueError):  # zero degree can't connect
+        _vl_graph(spark, [2, 2, 2, 0])
+    with pytest.raises(ValueError):  # too sparse for connectivity
+        _vl_graph(spark, [1, 1, 1, 1])
+    with pytest.raises(ValueError):  # directed
+        degree_sequence_game(spark, [1, 1], in_deg=[1, 1], method="vl")
+
+
+def test_vl_larger_ba_sequence(spark):
+    """A heavier-tailed 200-vertex sequence stays exact + connected."""
+    from igraph_spark.generators import barabasi
+    from igraph_spark.algorithms.components import connected_components
+    base = barabasi(spark, n=200, m=2, seed=5)
+    degs = {r.id: 0 for r in base.vertices.collect()}
+    for r in base.edges.collect():
+        degs[r.src] += 1
+        degs[r.dst] += 1
+    seq = [max(1, degs[i]) for i in range(200)]
+    if sum(seq) % 2:
+        seq[0] += 1
+    g = _vl_graph(spark, seq)
+    from collections import Counter
+    c = Counter()
+    for r in g.edges.collect():
+        c[r.src] += 1
+        c[r.dst] += 1
+    assert [c[i] for i in range(200)] == seq
+    assert (connected_components(g, "weak")
+            .select("component").distinct().count()) == 1
