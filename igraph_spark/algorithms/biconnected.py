@@ -128,8 +128,10 @@ def _blocks(graph: Graph, max_rounds: int = 10000) -> tuple[DataFrame,
             F.when(move_y, F.col("dy") - 1).otherwise(F.col("dy")).alias("dy"),
             F.when(move_y, F.col("y")).otherwise(F.col("lasty")).alias("lasty"),
         )
-        if rnd % 4 == 3:
-            nxt = nxt.localCheckpoint(eager=True)
+        # truncate every round: the next round's isEmpty probe then
+        # reads materialized partitions instead of re-running the join
+        # chain since the last periodic checkpoint (see checkpointing.py)
+        nxt = nxt.localCheckpoint(eager=True)
         # fronts that met: join the two sides' last tree edges
         met = nxt.where(F.col("x") == F.col("y"))
         links = links.unionByName(

@@ -103,15 +103,18 @@ def shortest_paths(graph: Graph, sources, mode: str = "out",
                 .unionByName(relaxed))
         new = (both.groupBy("source", ID)
                .agg(F.min("cand").alias("dist"))
-               .persist())
-        # converged when no (source, id) pair improved or appeared
+               .localCheckpoint(eager=False))
+        # converged when no (source, id) pair improved or appeared; the
+        # count is the round's one action and it materializes the lazy
+        # checkpoint in the same pass (per-round truncation: a periodic
+        # cadence left un-lookupable cache entries between checkpoints
+        # and silently recomputed the chain — see checkpointing.py)
         changed = (new.join(state.withColumnRenamed("dist", "old"),
                             ["source", ID], "left")
                    .where(F.col("old").isNull()
                           | (F.col("dist") < F.col("old")))
                    .count())
-        state.unpersist()
-        state = new.localCheckpoint(eager=True) if (rnd + 1) % 5 == 0 else new
+        state = new
         if changed == 0:
             break
     e.unpersist()

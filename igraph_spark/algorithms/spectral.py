@@ -189,8 +189,10 @@ def leading_eigenvector_communities(graph: Graph, steps: int | None = None,
                           - F.col("dg") * F.col("x")
                           + F.lit(shift_g) * F.col("x")).alias("y"),
                          "x"))
-            if it % 4 == 3:
-                y = y.localCheckpoint(eager=True)
+            # per-round lazy truncation, materialized by the stats agg
+            # in the same pass (periodic cadences recompute the chain
+            # between checkpoints — see checkpointing.py)
+            y = y.localCheckpoint(eager=False)
             stats = y.agg(
                 F.max(F.abs("y")).alias("norm"),
                 F.sum(F.col("y") * F.col("x")).alias("yx"),
