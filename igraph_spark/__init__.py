@@ -127,7 +127,11 @@ from igraph_spark.layouts import (
     layout_drl,
     layout_gem,
     layout_kamada_kawai,
+    layout_fruchterman_reingold_3d,
+    layout_grid_3d,
     layout_random,
+    layout_random_3d,
+    layout_sphere,
     layout_sugiyama,
 )
 from igraph_spark.algorithms.visitors import bfs_order, dfs_order
@@ -274,6 +278,10 @@ __all__ = [
     "scg_stochastic",
     "graphlets_candidate_basis",
     "graphlets_project",
+    "layout_fruchterman_reingold_3d",
+    "layout_grid_3d",
+    "layout_random_3d",
+    "layout_sphere",
     "layout_sugiyama",
     "get_shortest_paths",
     "get_all_shortest_paths",

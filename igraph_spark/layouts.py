@@ -19,10 +19,11 @@ from igraph_spark.graph import Graph, SRC, DST, ID
 
 
 def _force_table(pos: DataFrame, sym: DataFrame, k: float, ascale: float,
-                 repulsion: str, cell_factor: float) -> DataFrame:
-    """One force evaluation -> DataFrame(i, fx, fy): FR repulsion
+                 repulsion: str, cell_factor: float,
+                 dims: tuple = ("x", "y")) -> DataFrame:
+    """One force evaluation -> DataFrame(i, fx, fy[, fz]): FR repulsion
     ``k^2/d`` between pairs + attraction ``d^2/k`` (scaled by
-    ``ascale``) along edges.
+    ``ascale``) along edges, in 2 or 3 dimensions (``dims``).
 
     ``repulsion="exact"``: the all-pairs cross-join aggregate with the
     edge term fused in (the reference FR loop's own O(n^2) round,
@@ -43,52 +44,56 @@ def _force_table(pos: DataFrame, sym: DataFrame, k: float, ascale: float,
     cluster.  Attraction runs as a separate O(m) edge join (edges may
     span cells).
     """
-    a = pos.select(F.col(ID).alias("i"), F.col("x").alias("xi"),
-                   F.col("y").alias("yi"))
-    b = pos.select(F.col(ID).alias("j"), F.col("x").alias("xj"),
-                   F.col("y").alias("yj"))
-    dx, dy = F.col("xi") - F.col("xj"), F.col("yi") - F.col("yj")
-    d2 = dx * dx + dy * dy + F.lit(1e-9)
+    fcols = ["f" + c for c in dims]
+    a = pos.select(F.col(ID).alias("i"),
+                   *[F.col(c).alias(c + "i") for c in dims])
+    b = pos.select(F.col(ID).alias("j"),
+                   *[F.col(c).alias(c + "j") for c in dims])
+    diffs = [F.col(c + "i") - F.col(c + "j") for c in dims]
+    d2 = diffs[0] * diffs[0]
+    for dd in diffs[1:]:
+        d2 = d2 + dd * dd
+    d2 = d2 + F.lit(1e-9)
     d = F.sqrt(d2)
     if repulsion == "exact":
-        fpx = (dx / d2 * (k * k)
-               + F.when(F.col("is_e"),
-                        -dx * d / k * F.lit(ascale)).otherwise(0.0))
-        fpy = (dy / d2 * (k * k)
-               + F.when(F.col("is_e"),
-                        -dy * d / k * F.lit(ascale)).otherwise(0.0))
+        fused = [
+            (dd / d2 * (k * k)
+             + F.when(F.col("is_e"),
+                      -dd * d / k * F.lit(ascale)).otherwise(0.0))
+            for dd in diffs]
         return (a.crossJoin(b).where(F.col("i") != F.col("j"))
                 .join(sym, ["i", "j"], "left")
                 .withColumn("is_e", F.coalesce("is_e", F.lit(False)))
                 .groupBy("i")
-                .agg(F.sum(fpx).alias("fx"), F.sum(fpy).alias("fy")))
+                .agg(*[F.sum(fp).alias(fc)
+                       for fp, fc in zip(fused, fcols)]))
     if repulsion != "grid":
         raise ValueError(f"unknown repulsion mode {repulsion!r}")
     s = float(cell_factor * k)
-    ca = a.select("i", "xi", "yi",
-                  F.floor(F.col("xi") / s).alias("cx"),
-                  F.floor(F.col("yi") / s).alias("cy"))
+    ca = a.select("i", *[c + "i" for c in dims],
+                  *[F.floor(F.col(c + "i") / s).alias("c" + c)
+                    for c in dims])
     off = F.array(F.lit(-1), F.lit(0), F.lit(1))
-    cb = (b.select("j", "xj", "yj",
-                   F.floor(F.col("xj") / s).alias("bx"),
-                   F.floor(F.col("yj") / s).alias("by"),
-                   F.explode(off).alias("ox"))
-          .select("j", "xj", "yj", "bx", "by", "ox",
-                  F.explode(off).alias("oy"))
-          .select("j", "xj", "yj",
-                  (F.col("bx") + F.col("ox")).alias("cx"),
-                  (F.col("by") + F.col("oy")).alias("cy")))
-    rep = (ca.join(cb, ["cx", "cy"]).where(F.col("i") != F.col("j"))
+    cb = b.select("j", *[c + "j" for c in dims],
+                  *[F.floor(F.col(c + "j") / s).alias("b" + c)
+                    for c in dims])
+    for c in dims:  # one explode per dimension: 3^len(dims) replicas
+        cb = cb.select("*", F.explode(off).alias("o" + c))
+    cb = cb.select("j", *[c + "j" for c in dims],
+                   *[(F.col("b" + c) + F.col("o" + c)).alias("c" + c)
+                     for c in dims])
+    ckeys = ["c" + c for c in dims]
+    rep = (ca.join(cb, ckeys).where(F.col("i") != F.col("j"))
            .groupBy("i")
-           .agg(F.sum(dx / d2 * (k * k)).alias("fx"),
-                F.sum(dy / d2 * (k * k)).alias("fy")))
+           .agg(*[F.sum(dd / d2 * (k * k)).alias(fc)
+                  for dd, fc in zip(diffs, fcols)]))
     att = (sym.select("i", "j")
            .join(a, "i").join(b, "j")
            .groupBy("i")
-           .agg(F.sum(-dx * d / k * F.lit(ascale)).alias("fx"),
-                F.sum(-dy * d / k * F.lit(ascale)).alias("fy")))
+           .agg(*[F.sum(-dd * d / k * F.lit(ascale)).alias(fc)
+                  for dd, fc in zip(diffs, fcols)]))
     return (rep.unionByName(att).groupBy("i")
-            .agg(F.sum("fx").alias("fx"), F.sum("fy").alias("fy")))
+            .agg(*[F.sum(fc).alias(fc) for fc in fcols]))
 
 
 def _resolve_repulsion(repulsion: str, n: int,
@@ -136,6 +141,71 @@ def layout_random(graph: Graph, seed: int = 42) -> DataFrame:
     return graph.vertices.select(ID, u(0).alias("x"), u(1).alias("y"))
 
 
+def layout_random_3d(graph: Graph, seed: int = 42) -> DataFrame:
+    """igraph_layout_random_3d (/root/reference/src/layout.c:110) on
+    [-1, 1]^3, hash-uniform (scale-free: no ranking, no shuffle)."""
+    def u(salt: int) -> F.Column:
+        h = F.xxhash64(F.col(ID), F.lit(seed), F.lit(salt))
+        return (h.cast("double") / F.lit(2.0 ** 63))
+    return graph.vertices.select(ID, u(0).alias("x"), u(1).alias("y"),
+                                 u(2).alias("z"))
+
+
+def layout_grid_3d(graph: Graph, width: int = 0,
+                   height: int = 0) -> DataFrame:
+    """igraph_layout_grid_3d (/root/reference/src/layout.c:339):
+    row-major 3-D grid; auto width = height = ceil(n^(1/3))."""
+    n = graph.vcount()
+    if width <= 0 and height <= 0:
+        width = height = int(math.ceil(max(n, 1) ** (1.0 / 3)))
+    elif width <= 0:
+        width = int(math.ceil(math.sqrt(max(n, 1) / float(height))))
+    elif height <= 0:
+        height = int(math.ceil(math.sqrt(max(n, 1) / float(width))))
+    r = F.col("rank")
+    return _ranked(graph).select(
+        ID, (r % width).cast("double").alias("x"),
+        (F.floor(r / width) % height).cast("double").alias("y"),
+        F.floor(r / (width * height)).cast("double").alias("z"))
+
+
+def layout_sphere(graph: Graph) -> DataFrame:
+    """igraph_layout_sphere (/root/reference/src/layout.c:246; Saff &
+    Kuijlaars 1997) -> DataFrame(id, x, y, z): near-uniform points on
+    the unit sphere.
+
+    The reference's phi recurrence ``phi_i = fmod(phi_{i-1} + 3.6 /
+    sqrt(n (1-h_i^2)), 2pi)`` is a modular prefix sum (fmod commutes
+    with addition), so it distributes as a cumulative-sum window over
+    the rank order — no sequential driver loop."""
+    n = graph.vcount()
+    ranked = _ranked(graph)
+    if n < 2:
+        # n==1: theta=pi, phi=0 (layout.c:254-256) -> (sin(pi), 0, -1)
+        return ranked.select(ID, F.lit(math.sin(math.pi)).alias("x"),
+                             F.lit(0.0).alias("y"),
+                             F.lit(-1.0).alias("z"))
+    r = F.col("rank")
+    h = -1.0 + 2.0 * r / F.lit(float(n - 1))
+    # phi increments: rank 0 (theta=pi) and rank n-1 (theta=0) carry
+    # phi=0 in the reference; interior ranks accumulate the deltas of
+    # ranks 1..i (delta_1 added on top of phi_0 = 0)
+    delta = F.when((r >= 1) & (r <= n - 2),
+                   3.6 / F.sqrt(F.lit(float(n)) * (1.0 - h * h))) \
+        .otherwise(F.lit(0.0))
+    cum = F.sum(delta).over(
+        Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0))
+    phi = F.when(r == n - 1, F.lit(0.0)).otherwise(cum % (2.0 * math.pi))
+    theta = (F.when(r == 0, F.lit(math.pi))
+             .when(r == n - 1, F.lit(0.0))
+             .otherwise(F.acos(h)))
+    return ranked.select(
+        ID,
+        (F.cos(phi) * F.sin(theta)).alias("x"),
+        (F.sin(phi) * F.sin(theta)).alias("y"),
+        F.cos(theta).alias("z"))
+
+
 def layout_fruchterman_reingold(graph: Graph, iterations: int = 50,
                                 seed: int = 42, repulsion: str = "auto",
                                 cell_factor: float = 2.0) -> DataFrame:
@@ -152,6 +222,19 @@ def layout_fruchterman_reingold(graph: Graph, iterations: int = 50,
     ``cell_factor`` makes grid degenerate to exact (every pair lands
     in the neighborhood), which the tolerance test exploits.
     """
+    schedule = [(0.1 * (1.0 - it / iterations) + 1e-6, 1.0)
+                for it in range(iterations)]
+    return _fr_loop(graph, schedule, seed, repulsion, cell_factor,
+                    ("x", "y"), "fr")
+
+
+def _fr_loop(graph: Graph, schedule: list, seed: int, repulsion: str,
+             cell_factor: float, dims: tuple, algo: str) -> DataFrame:
+    """Shared FR-kernel BSP loop (FR 2-D/3-D and DrL): per round, one
+    force pass (exact: fused all-pairs aggregate; grid: cell-key
+    equi-join + edge join, _force_table) and a temperature-capped move
+    applied in the same projection; the runner owns persist/rotation +
+    lineage truncation.  ``schedule`` = [(temp, ascale), ...]."""
     from igraph_spark.checkpointing import SuperstepRunner
     spark = graph.edges.sparkSession
     n = max(graph.vcount(), 1)
@@ -165,30 +248,42 @@ def layout_fruchterman_reingold(graph: Graph, iterations: int = 50,
            .localCheckpoint(eager=True))
 
     mode = _resolve_repulsion(repulsion, n)
+    init = (layout_random(graph, seed) if len(dims) == 2
+            else layout_random_3d(graph, seed))
     runner = SuperstepRunner(spark, checkpoint_every=5)
     pos, start, _ = runner.start(
-        layout_random(graph, seed),
-        params={"algo": "fr", "seed": seed, "iters": iterations})
-    for it in range(start, iterations):
-        temp = 0.1 * (1.0 - it / iterations) + 1e-6
-        # one force pass per round (exact: fused all-pairs aggregate;
-        # grid: cell-key equi-join + edge join); the move is applied in
-        # the same projection over aggregated force columns, and the
-        # runner owns persist/rotation + lineage truncation
-        forces = _force_table(pos, sym, k, 1.0, mode, cell_factor)
-        mag = F.sqrt(F.col("fx") * F.col("fx")
-                     + F.col("fy") * F.col("fy")) + F.lit(1e-12)
+        init, params={"algo": algo, "seed": seed, "iters": len(schedule)})
+    fcols = ["f" + c for c in dims]
+    for it in range(start, len(schedule)):
+        temp, ascale = schedule[it]
+        forces = _force_table(pos, sym, k, ascale, mode, cell_factor, dims)
+        mag2 = F.col(fcols[0]) * F.col(fcols[0])
+        for fc in fcols[1:]:
+            mag2 = mag2 + F.col(fc) * F.col(fc)
+        mag = F.sqrt(mag2) + F.lit(1e-12)
         step = F.least(mag, F.lit(temp))
         new = (pos.join(forces, pos[ID] == forces["i"], "left").drop("i")
                .select(ID,
-                       (F.col("x") + F.coalesce(F.col("fx") / mag * step,
-                                                F.lit(0.0))).alias("x"),
-                       (F.col("y") + F.coalesce(F.col("fy") / mag * step,
-                                                F.lit(0.0))).alias("y")))
+                       *[(F.col(c) + F.coalesce(F.col(fc) / mag * step,
+                                                F.lit(0.0))).alias(c)
+                         for c, fc in zip(dims, fcols)]))
         new = new.persist()
         new.count()
         pos = runner.advance(it, new)
     return pos
+
+
+def layout_fruchterman_reingold_3d(graph: Graph, iterations: int = 50,
+                                   seed: int = 42, repulsion: str = "auto",
+                                   cell_factor: float = 2.0) -> DataFrame:
+    """igraph_layout_fruchterman_reingold_3d (/root/reference/src/
+    layout.c, the 3-D FR variant) -> DataFrame(id, x, y, z).  Same
+    kernel and repulsion modes as the 2-D layout; the grid path bins
+    into 3x3x3 neighborhoods (27 halo replicas)."""
+    schedule = [(0.1 * (1.0 - it / iterations) + 1e-6, 1.0)
+                for it in range(iterations)]
+    return _fr_loop(graph, schedule, seed, repulsion, cell_factor,
+                    ("x", "y", "z"), "fr3d")
 
 
 def layout_kamada_kawai(graph: Graph, iterations: int = 200,
@@ -410,51 +505,19 @@ def layout_drl(graph: Graph, iterations: int = 60,
     cell-binned, O(n * occupancy) per round; "exact" is the all-pairs
     aggregate; "auto" (default) switches at 4096 vertices.  Edge
     cutting is not implemented."""
-    from igraph_spark.checkpointing import SuperstepRunner
-    spark = graph.edges.sparkSession
-    n = max(graph.vcount(), 1)
-    k = math.sqrt(1.0 / n)
-    e = (graph.edges.select(SRC, DST).where(F.col(SRC) != F.col(DST))
-         .distinct())
-    sym = (e.unionByName(e.select(F.col(DST).alias(SRC),
-                                  F.col(SRC).alias(DST)))
-           .select(F.col(SRC).alias("i"), F.col(DST).alias("j"),
-                   F.lit(True).alias("is_e"))
-           .localCheckpoint(eager=True))
     # (share of iterations, temperature scale, attraction scale) — the
     # default DrL schedule's proportions (liquid/expansion/cooldown/
     # crunch/simmer = 25/25/25/10/15, attraction rising then settling)
     phases = [(0.25, 2.0, 1.0), (0.25, 1.5, 2.0), (0.25, 0.7, 1.0),
               (0.10, 0.3, 1.0), (0.15, 0.1, 0.5)]
-    schedule = []
+    raw = []
     for share, tscale, ascale in phases:
-        schedule += [(tscale, ascale)] * max(1, int(round(share
-                                                          * iterations)))
-    schedule = schedule[:max(iterations, len(phases))]
-
-    mode = _resolve_repulsion(repulsion, n)
-    runner = SuperstepRunner(spark, checkpoint_every=5)
-    pos, start, _ = runner.start(
-        layout_random(graph, seed),
-        params={"algo": "drl", "seed": seed, "iters": len(schedule)})
-    for it in range(start, len(schedule)):
-        tscale, ascale = schedule[it]
-        frac = 1.0 - it / len(schedule)
-        temp = 0.1 * tscale * frac + 1e-6
-        forces = _force_table(pos, sym, k, ascale, mode, cell_factor)
-        mag = F.sqrt(F.col("fx") * F.col("fx")
-                     + F.col("fy") * F.col("fy")) + F.lit(1e-12)
-        step = F.least(mag, F.lit(temp))
-        new = (pos.join(forces, pos[ID] == forces["i"], "left").drop("i")
-               .select(ID,
-                       (F.col("x") + F.coalesce(F.col("fx") / mag * step,
-                                                F.lit(0.0))).alias("x"),
-                       (F.col("y") + F.coalesce(F.col("fy") / mag * step,
-                                                F.lit(0.0))).alias("y")))
-        new = new.persist()
-        new.count()
-        pos = runner.advance(it, new)
-    return pos
+        raw += [(tscale, ascale)] * max(1, int(round(share * iterations)))
+    raw = raw[:max(iterations, len(phases))]
+    schedule = [(0.1 * tscale * (1.0 - it / len(raw)) + 1e-6, ascale)
+                for it, (tscale, ascale) in enumerate(raw)]
+    return _fr_loop(graph, schedule, seed, repulsion, cell_factor,
+                    ("x", "y"), "drl")
 
 
 def layout_gem(graph: Graph, iterations: int = 40,

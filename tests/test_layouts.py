@@ -256,3 +256,73 @@ def test_fr_grid_scale_smoke(spark):
     rows = (layout_fruchterman_reingold(g, iterations=2, repulsion="grid")
             .count())
     assert rows == 50_000
+
+
+# ------------------------------------------------- 3-D layouts
+
+
+def test_sphere_matches_reference_recurrence(spark):
+    """Driver replication of layout.c:246-280 (Saff-Kuijlaars) vs the
+    distributed window-cumsum implementation."""
+    from igraph_spark.layouts import layout_sphere
+    n = 10
+    g = ring(spark, n)
+    theta = [0.0] * n
+    phi = [0.0] * n
+    theta[0], phi[0] = math.pi, 0.0
+    for i in range(1, n - 1):
+        h = -1 + 2 * i / (n - 1)
+        theta[i] = math.acos(h)
+        phi[i] = math.fmod(phi[i - 1] + 3.6 / math.sqrt(n * (1 - h * h)),
+                           2 * math.pi)
+    theta[n - 1], phi[n - 1] = 0.0, 0.0
+    want = {i: (math.cos(phi[i]) * math.sin(theta[i]),
+                math.sin(phi[i]) * math.sin(theta[i]),
+                math.cos(theta[i])) for i in range(n)}
+    got = {r.id: (r.x, r.y, r.z) for r in layout_sphere(g).collect()}
+    for i in range(n):
+        assert math.dist(want[i], got[i]) < 1e-9, (i, want[i], got[i])
+        assert abs(math.hypot(*got[i]) - 1.0) < 1e-9
+
+
+def test_grid_3d_row_major(spark):
+    from igraph_spark.layouts import layout_grid_3d
+    g = {r.id: (r.x, r.y, r.z)
+         for r in layout_grid_3d(ring(spark, 10)).collect()}
+    # auto width = height = ceil(10^(1/3)) = 3
+    assert g[0] == (0.0, 0.0, 0.0)
+    assert g[2] == (2.0, 0.0, 0.0)
+    assert g[3] == (0.0, 1.0, 0.0)
+    assert g[9] == (0.0, 0.0, 1.0)
+
+
+def test_random_3d_deterministic_in_range(spark):
+    from igraph_spark.layouts import layout_random_3d
+    g = ring(spark, 50)
+    a = sorted((r.id, r.x, r.y, r.z) for r in layout_random_3d(g, 7).collect())
+    b = sorted((r.id, r.x, r.y, r.z) for r in layout_random_3d(g, 7).collect())
+    assert a == b
+    assert all(-1 <= v <= 1 for _, x, y, z in a for v in (x, y, z))
+
+
+def test_fr_3d_separates_cliques_and_grid_degenerates(spark):
+    from igraph_spark.layouts import layout_fruchterman_reingold_3d
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    g = Graph.from_edge_list(spark, edges, n=6, directed=False)
+    ex = {r.id: (r.x, r.y, r.z)
+          for r in layout_fruchterman_reingold_3d(
+              g, iterations=15, repulsion="exact").collect()}
+
+    def dist(a, b):
+        return math.dist(ex[a], ex[b])
+
+    intra = (dist(0, 1) + dist(1, 2) + dist(0, 2)
+             + dist(3, 4) + dist(4, 5) + dist(3, 5)) / 6
+    inter = sum(dist(a, b) for a in (0, 1, 2) for b in (3, 4, 5)) / 9
+    assert inter > 1.5 * intra, (intra, inter)
+    gr = {r.id: (r.x, r.y, r.z)
+          for r in layout_fruchterman_reingold_3d(
+              g, iterations=15, repulsion="grid",
+              cell_factor=1e6).collect()}
+    for v in ex:
+        assert math.dist(ex[v], gr[v]) < 1e-6
