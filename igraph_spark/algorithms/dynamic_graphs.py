@@ -165,10 +165,17 @@ def evomine(edges: DataFrame, timesteps: int, min_supp: int,
             max_ecolor: int | None = None):
     """End-to-end EvoMine analog: project the edge log into the
     transition database, then mine frequent change patterns with
-    gspan (DEFAULT-variant label matching on transition codes —
-    exact-color equality; the reference's EVOMINE variant's
-    label-string wildcards are a documented non-goal).
-    Returns the ``gspan`` result list."""
+    gspan using exact-color label equality on transition codes.
+
+    This matches the reference's ACTUAL EVOMINE behavior, not just its
+    DEFAULT variant: in /root/reference/src/fsm.c the
+    IGRAPH_GSPAN_EVOMINE case falls through to IGRAPH_GSPAN_DEFAULT at
+    every branch point (seed building :1819, extension :1977, dispatch
+    :2310), and the ``igraph_evomine_data_t`` wildcard parameters
+    (max_vcolor/max_ecolor) are written once (:2290-2291) and never
+    read — the label-string wildcard mentioned in igraph_fsm.h:47's
+    comment is unimplemented there too.  Exact-color equality is
+    therefore full parity.  Returns the ``gspan`` result list."""
     from igraph_spark.algorithms.fsm import gspan
     db = project_dynamic(edges, timesteps, max_ecolor)
     return gspan(db, min_supp=min_supp, max_edges=max_edges,
