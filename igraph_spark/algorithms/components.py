@@ -107,7 +107,7 @@ def _strong_components_raw(graph: Graph, max_outer: int = 100,
     edges = (graph.edges.select(SRC, DST)
              .where(F.col(SRC) != F.col(DST)).distinct()
              .persist(StorageLevel.MEMORY_AND_DISK))
-    active = graph.vertices.select(ID).persist()
+    active = graph.vertices.select(ID).localCheckpoint(eager=False)
     n_active = active.count()
     done_parts: list[DataFrame] = []
 
@@ -118,18 +118,20 @@ def _strong_components_raw(graph: Graph, max_outer: int = 100,
             e_act = (edges
                      .join(active.withColumnRenamed(ID, SRC), SRC, "left_semi")
                      .join(active.withColumnRenamed(ID, DST), DST, "left_semi"))
+            # lazy checkpoint materialized by the count: per-round
+            # lineage truncation (see checkpointing.py on why rotating
+            # persists recompute)
             core = (active
                     .join(e_act.select(F.col(SRC).alias(ID)).distinct(),
                           ID, "left_semi")
                     .join(e_act.select(F.col(DST).alias(ID)).distinct(),
                           ID, "left_semi")
-                    .persist())
+                    .localCheckpoint(eager=False))
             n_core = core.count()
             if n_core < n_active:
                 done_parts.append(active.join(core, ID, "left_anti")
                                   .select(ID, F.col(ID).alias("comp"))
                                   .localCheckpoint(eager=True))
-                active.unpersist()
                 active, n_active = core, n_core
                 continue
             break
@@ -142,7 +144,8 @@ def _strong_components_raw(graph: Graph, max_outer: int = 100,
 
         # ---- forward max-color propagation to fixpoint
         # (one fused action per round: changed-count carried in-plan)
-        color = active.select(ID, F.col(ID).alias("color")).persist()
+        color = active.select(ID, F.col(ID).alias("color")) \
+            .localCheckpoint(eager=True)
         for _ in range(max_inner):
             push = (e_core.join(color, e_core[SRC] == color[ID])
                     .groupBy(DST).agg(F.max("color").alias("in_color")))
@@ -151,17 +154,17 @@ def _strong_components_raw(graph: Graph, max_outer: int = 100,
                            F.greatest(F.col("color"),
                                       F.coalesce("in_color", F.col("color")))
                            .alias("color"))
-                   .persist())
+                   .localCheckpoint(eager=False))
             changed = int(new.agg(F.sum(
                 (F.col("color") != F.col("old")).cast("long"))).first()[0] or 0)
-            color.unpersist()
             color = new
             if changed == 0:
                 break
 
         # ---- backward membership from roots within same color
         member = color.select(ID, "color",
-                              (F.col(ID) == F.col("color")).alias("m")).persist()
+                              (F.col(ID) == F.col("color")).alias("m")) \
+            .localCheckpoint(eager=True)
         n_mem = member.where("m").count()
         for _ in range(max_inner):
             # u joins if some out-edge (u->w) has member w of u's color;
@@ -179,9 +182,8 @@ def _strong_components_raw(graph: Graph, max_outer: int = 100,
             new = (member.join(reach, [ID, "color"], "left")
                    .select(member[ID], "color",
                            (F.col("m") | F.coalesce("hit", F.lit(False)))
-                           .alias("m")).persist())
+                           .alias("m")).localCheckpoint(eager=False))
             n_new = int(new.agg(F.sum(F.col("m").cast("long"))).first()[0] or 0)
-            member.unpersist()
             member = new
             if n_new == n_mem:
                 break
@@ -192,12 +194,10 @@ def _strong_components_raw(graph: Graph, max_outer: int = 100,
         done_parts.append(scc.join(comp_min, "color").select(ID, "comp")
                           .localCheckpoint(eager=True))
 
-        remaining = member.where(~F.col("m")).select(ID).persist()
+        remaining = member.where(~F.col("m")).select(ID) \
+            .localCheckpoint(eager=False)
         n_active = remaining.count()
-        active.unpersist()
         e_core.unpersist()
-        member.unpersist()
-        color.unpersist()
         active = remaining
         if n_active == 0:
             break
