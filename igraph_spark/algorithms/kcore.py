@@ -37,7 +37,7 @@ def coreness(graph: Graph, mode: str = "all", max_waves: int = 10000) -> DataFra
         raise ValueError(f"bad mode {mode!r}")
     inc = inc.persist(StorageLevel.MEMORY_AND_DISK)
 
-    remaining = graph.vertices.select(ID).persist()
+    remaining = graph.vertices.select(ID).localCheckpoint(eager=False)
     n_rem = remaining.count()
     results: list[DataFrame] = []
     k = 0
@@ -60,9 +60,11 @@ def coreness(graph: Graph, mode: str = "all", max_waves: int = 10000) -> DataFra
         # unpersist of this wave's deg/remaining without replaying
         results.append(peel.select(ID, F.lit(k).cast("long").alias("coreness"))
                        .localCheckpoint(eager=True))
-        nxt = deg.where(F.col("deg") > k).select(ID).persist()
+        # lazy checkpoint materialized by the count: per-wave lineage
+        # truncation (rotating persists recompute, see checkpointing.py)
+        nxt = deg.where(F.col("deg") > k).select(ID) \
+            .localCheckpoint(eager=False)
         n_rem = nxt.count()
-        remaining.unpersist()
         deg.unpersist()
         remaining = nxt
     inc.unpersist()

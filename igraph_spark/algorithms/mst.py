@@ -34,7 +34,8 @@ def minimum_spanning_tree(graph: Graph, weights: bool | None = None,
          .persist(StorageLevel.MEMORY_AND_DISK))
     spark = e.sparkSession
 
-    comp = graph.vertices.select(ID, F.col(ID).alias("comp")).persist()
+    comp = graph.vertices.select(ID, F.col(ID).alias("comp")) \
+        .localCheckpoint(eager=True)
     chosen_parts: list[DataFrame] = []
     for _ in range(max_rounds):
         lab_s = comp.select(F.col(ID).alias(SRC), F.col("comp").alias("cs"))
@@ -64,7 +65,10 @@ def minimum_spanning_tree(graph: Graph, weights: bool | None = None,
         # mutual-pair hooks collapse naturally: both endpoints point at
         # the smaller label, which points at itself
         hook = best.select("c", F.least("c", "partner").alias("p"))
-        ptr = hook.persist()
+        # eager per-jump truncation: the limit(1) probe would only
+        # partially materialize a lazy checkpoint, and rotating
+        # persists recompute (see checkpointing.py); O(log n) jumps
+        ptr = hook.localCheckpoint(eager=True)
         while True:
             a = ptr.select(F.col("c").alias("ac"), F.col("p").alias("ap"))
             b = ptr.select(F.col("c").alias("bc"), F.col("p").alias("bp"))
@@ -72,12 +76,11 @@ def minimum_spanning_tree(graph: Graph, weights: bool | None = None,
                    .select(F.col("ac").alias("c"),
                            F.least(F.coalesce("bp", F.col("ap")),
                                    F.col("ap")).alias("p"))
-                   .persist())
+                   .localCheckpoint(eager=True))
             changed = (nxt.select(F.col("c").alias("nc"),
                                   F.col("p").alias("np"))
                        .join(ptr, F.col("nc") == F.col("c"))
                        .where(F.col("np") != F.col("p")).limit(1).count())
-            ptr.unpersist()
             ptr = nxt
             if changed == 0:
                 break
@@ -86,11 +89,8 @@ def minimum_spanning_tree(graph: Graph, weights: bool | None = None,
                     .select(ID, F.coalesce("p", F.col("comp"))
                             .alias("comp"))
                     .localCheckpoint(eager=True))
-        ptr.unpersist()
         cross.unpersist()
-        comp.unpersist()
-        comp = new_comp.persist()
-    comp.unpersist()
+        comp = new_comp
     e.unpersist()
     if not chosen_parts:
         return spark.createDataFrame([], "src long, dst long, weight double")
