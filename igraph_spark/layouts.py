@@ -521,7 +521,8 @@ def layout_drl(graph: Graph, iterations: int = 60,
 
 
 def layout_gem(graph: Graph, iterations: int = 40,
-               seed: int = 42) -> DataFrame:
+               seed: int = 42, repulsion: str = "auto",
+               cell_factor: float = 2.0) -> DataFrame:
     """igraph_layout_gem (/root/reference/src/layout_gem.c; Frick,
     Ludwig & Mehldau 1995) -> DataFrame(id, x, y).
 
@@ -531,7 +532,9 @@ def layout_gem(graph: Graph, iterations: int = 40,
     per-vertex adaptive temperatures; a BSP engine updates all vertices
     synchronously per round with a shared cooling schedule (documented
     deviation — the sequential single-vertex walk has no
-    order-independent distributed formulation)."""
+    order-independent distributed formulation).  ``repulsion`` works
+    as in layout_fruchterman_reingold (grid = cell-binned short-range
+    pair forces; gravity and shake are O(n) either way)."""
     from igraph_spark.checkpointing import SuperstepRunner
     spark = graph.edges.sparkSession
     n = max(graph.vcount(), 1)
@@ -548,25 +551,11 @@ def layout_gem(graph: Graph, iterations: int = 40,
     pos, start, _ = runner.start(
         layout_random(graph, seed),
         params={"algo": "gem", "seed": seed, "iters": iterations})
+    mode = _resolve_repulsion(repulsion, n)
     for it in range(start, iterations):
         temp = 0.1 * (1.0 - it / iterations) + 1e-6
         cen = pos.agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
-        a = pos.select(F.col(ID).alias("i"), F.col("x").alias("xi"),
-                       F.col("y").alias("yi"))
-        b = pos.select(F.col(ID).alias("j"), F.col("x").alias("xj"),
-                       F.col("y").alias("yj"))
-        dx, dy = F.col("xi") - F.col("xj"), F.col("yi") - F.col("yj")
-        d2 = dx * dx + dy * dy + F.lit(1e-9)
-        d = F.sqrt(d2)
-        fpx = (dx / d2 * (k * k)
-               + F.when(F.col("is_e"), -dx * d / k).otherwise(0.0))
-        fpy = (dy / d2 * (k * k)
-               + F.when(F.col("is_e"), -dy * d / k).otherwise(0.0))
-        forces = (a.crossJoin(b).where(F.col("i") != F.col("j"))
-                  .join(sym, ["i", "j"], "left")
-                  .withColumn("is_e", F.coalesce("is_e", F.lit(False)))
-                  .groupBy("i")
-                  .agg(F.sum(fpx).alias("fx"), F.sum(fpy).alias("fy")))
+        forces = _force_table(pos, sym, k, 1.0, mode, cell_factor)
         # gravity toward barycenter + deterministic hash shake
         shake_x = (F.xxhash64(F.col(ID), F.lit(seed), F.lit(1000 + it))
                    .cast("double") / F.lit(2.0 ** 63)) * temp * 0.1

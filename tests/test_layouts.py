@@ -326,3 +326,19 @@ def test_fr_3d_separates_cliques_and_grid_degenerates(spark):
               cell_factor=1e6).collect()}
     for v in ex:
         assert math.dist(ex[v], gr[v]) < 1e-6
+
+
+def test_gem_grid_runs_and_separates(spark):
+    from igraph_spark.layouts import layout_gem
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    g = Graph.from_edge_list(spark, edges, n=6, directed=False)
+    pos = {r.id: (r.x, r.y)
+           for r in layout_gem(g, iterations=20, repulsion="grid").collect()}
+
+    def dist(a, b):
+        return math.dist(pos[a], pos[b])
+
+    intra = (dist(0, 1) + dist(1, 2) + dist(0, 2)
+             + dist(3, 4) + dist(4, 5) + dist(3, 5)) / 6
+    inter = sum(dist(a, b) for a in (0, 1, 2) for b in (3, 4, 5)) / 9
+    assert inter > 1.2 * intra, (intra, inter)
