@@ -769,6 +769,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(n_true, n_lsh, round(recall, 6))],
             "n_true long, n_lsh long, recall double")
 
+    def q_ann_ivf(spark, sf):
+        # IVF with every cell probed degenerates to exact brute force
+        # (full candidate set), so the brute-force SQL is a value-exact
+        # oracle for the whole train/assign/probe/re-rank pipeline
+        e = _t(spark, sf, "embeddings")
+        q = e.where(F.col("vec_id") < 20)
+        return (ann.ivf_topk(e, q, dim=64, k=5, n_clusters=8, n_probe=8)
+                .select("query_id", "neighbor_id",
+                        F.round("cosine", 6).alias("cosine"),
+                        F.col("rank").cast("long").alias("rank")))
+
+    def q_ann_ivf_recall(spark, sf):
+        # partial probe (4 of 8 cells): deterministic recall vs brute
+        # force; the oracle asserts the documented floor holds
+        e = _t(spark, sf, "embeddings")
+        q = e.where(F.col("vec_id") < 20)
+        bf = (ann.cosine_topk_bruteforce(e, q, k=5)
+              .select("query_id", "neighbor_id"))
+        part = (ann.ivf_topk(e, q, dim=64, k=5, n_clusters=8, n_probe=4)
+                .select("query_id", "neighbor_id"))
+        n_true = bf.count()
+        hits = bf.intersect(part).count()
+        recall = hits / n_true if n_true else 1.0
+        return spark.createDataFrame(
+            [(n_true, bool(recall >= 0.5))],
+            "n_true long, recall_ge_half boolean")
+
     def q_minhash_verified(spark, sf):
         # full dedup pipeline: banded-minhash candidates -> TRUE
         # shingle-Jaccard verify; oracle = brute-force Jaccard pairs
@@ -1039,6 +1066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walktrap_sizes": q_walktrap_sizes,
         # -- registered r03 past the window; first official gating --
         "power_law_alpha": q_power_law_alpha,
+        # -- NEW in r04: IVF ANN (full-probe exactness + recall floor) --
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_recall": q_ann_ivf_recall,
         # -- rotation: the r02-gated cohort returns to the window --
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -2796,6 +2826,35 @@ def oracle_sql() -> dict[str, str]:
           WITH t AS (SELECT count(*) AS n FROM ({_ANN_BRUTE_SQL}))
           SELECT CAST(n AS BIGINT) AS n_true, CAST(n AS BIGINT) AS n_lsh,
                  1.0 AS recall FROM t
+        """,
+        # IVF at n_probe = n_clusters probes every cell -> the exact
+        # brute-force top-k is a value-exact oracle for the pipeline
+        "ann_ivf": """
+          WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                     FROM embeddings WHERE vec_id < 20),
+               scored AS (
+                 SELECT q.query_id, e.vec_id AS neighbor_id,
+                        list_cosine_similarity(
+                            CAST(q.qe AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[])) AS cos
+                 FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+               ranked AS (
+                 SELECT query_id, neighbor_id, cos,
+                        row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+                 FROM scored)
+          SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+                 CAST(rank AS BIGINT) AS rank
+          FROM ranked WHERE rank <= 5
+        """,
+        # partial-probe recall is deterministic (seeded k-means init);
+        # the oracle asserts the documented floor (measured 0.72-0.78
+        # at 4/8 cells on sf0.001-0.01)
+        "ann_ivf_recall": """
+          WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id < 20),
+               n AS (SELECT count(*) * 5 AS n_true FROM q)
+          SELECT CAST(n_true AS BIGINT) AS n_true, TRUE AS recall_ge_half
+          FROM n
         """,
         "minhash_verified": _minhash_verified_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),

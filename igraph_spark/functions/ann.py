@@ -214,3 +214,110 @@ def cosine_topk_lsh(embeddings: DataFrame, dim: int, k: int = 10,
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+# --------------------------------------------------------------- IVF
+
+
+def ivf_train_centroids(embeddings: DataFrame, dim: int,
+                        n_clusters: int = 16, max_iter: int = 8,
+                        seed: int = 42, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> list[list[float]]:
+    """Spherical k-means coarse quantizer (the IVF training step).
+
+    Deterministic init: the ``n_clusters`` rows ranked first by
+    ``xxhash64(id, seed)``.  Lloyd rounds run fully JVM-side — the
+    assignment is a ``greatest(struct(dot, cluster))`` argmax over
+    broadcast centroid literals and the update is ``dim`` column
+    means per cluster (no explode, no Python row path).  Centroids
+    are L2-normalized each round (spherical k-means), so assignment
+    by dot product equals assignment by cosine.
+    """
+    rows = (embeddings
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+            .limit(n_clusters).select(vec_col).collect())
+    cents = [[float(x) for x in r[0]] for r in rows]
+
+    def _unit(c):
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        return [x / n for x in c]
+
+    cents = [_unit(c) for c in cents]
+    v = F.col(vec_col)
+    for _ in range(max_iter):
+        # compact higher-order-function dots (a 64-term nested Add per
+        # centroid made Catalyst analysis the bottleneck)
+        structs = [
+            F.struct(_dot(v, F.array(*[F.lit(x) for x in c])).alias("dot"),
+                     F.lit(ci).alias("cluster"))
+            for ci, c in enumerate(cents)]
+        assigned = embeddings.select(
+            vec_col, F.greatest(*structs).getField("cluster").alias("c"))
+        means = (assigned.groupBy("c")
+                 .agg(*[F.avg(v[i].cast("double")).alias(f"m{i}")
+                        for i in range(dim)])
+                 .collect())
+        new = list(cents)
+        for r in means:
+            new[r["c"]] = _unit([r[f"m{i}"] for i in range(dim)])
+        if new == cents:
+            break
+        cents = new
+    return cents
+
+
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
+               dim: int, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Attach the coarse-quantizer cell -> (id_col, vec_col..., cluster).
+    At corpus scale the result is written bucketed by ``cluster`` so a
+    probe reads only the probed cells (partition pruning)."""
+    v = F.col(vec_col)
+    structs = [
+        F.struct(_dot(v, F.array(*[F.lit(x) for x in c])).alias("dot"),
+                 F.lit(ci).alias("cluster"))
+        for ci, c in enumerate(centroids)]
+    return embeddings.withColumn(
+        "cluster", F.greatest(*structs).getField("cluster"))
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
+             k: int = 10, n_clusters: int = 16, n_probe: int = 4,
+             max_iter: int = 8, seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k cosine -> (query_id, neighbor_id, cosine,
+    rank): train the coarse quantizer, assign the corpus, probe the
+    ``n_probe`` nearest cells per query, exact cosine re-rank inside
+    the probed cells only.
+
+    ``n_probe = n_clusters`` degenerates to exact brute force (every
+    cell probed -> full candidate set), which is the oracle identity
+    the driver gate checks; recall at partial probe is measured by
+    ``ann_ivf_recall``.
+    """
+    cents = ivf_train_centroids(embeddings, dim, n_clusters, max_iter,
+                                seed, id_col, vec_col)
+    corpus = ivf_assign(embeddings, cents, dim, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nv"), "cluster")
+    qv = F.col(vec_col)
+    probe_structs = [
+        F.struct(_dot(qv, F.array(*[F.lit(x) for x in c])).alias("dot"),
+                 F.lit(ci).alias("cluster"))
+        for ci, c in enumerate(cents)]
+    probes = (queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("qv"),
+        _norm(qv).alias("nq"),
+        F.slice(F.reverse(F.array_sort(F.array(*probe_structs))),
+                1, n_probe).alias("cells"))
+        .select("query_id", "qv", "nq",
+                F.explode("cells.cluster").alias("cluster")))
+    scored = (corpus.join(F.broadcast(probes), "cluster")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      (_dot(F.col("v"), F.col("qv"))
+                       / (F.col("nv") * F.col("nq"))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

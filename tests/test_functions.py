@@ -130,3 +130,47 @@ def test_multimodal_plumbing(spark, docs):
     frames = multimodal.frame_sample(media, every_n_bytes=16).collect()
     assert len(frames) > 5
     assert all(len(r["frame"]) <= 16 for r in frames)
+
+
+def test_ann_ivf_full_probe_equals_bruteforce(spark):
+    rows = [(i, [float(i == j) + 0.1 * ((i * 7 + j) % 3)
+                 for j in range(4)], 0) for i in range(30)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = emb.where("vec_id < 3")
+    bf = set((r.query_id, r.neighbor_id, r.rank) for r in
+             ann.cosine_topk_bruteforce(emb, q, k=5).collect())
+    full = set((r.query_id, r.neighbor_id, r.rank) for r in
+               ann.ivf_topk(emb, q, dim=4, k=5, n_clusters=4,
+                            n_probe=4).collect())
+    assert bf == full
+
+
+def test_ann_ivf_partial_probe_recall_and_determinism(spark):
+    rows = [(i, [float(i == j) + 0.1 * ((i * 7 + j) % 3)
+                 for j in range(4)], 0) for i in range(30)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = emb.where("vec_id < 3")
+    bf = set((r.query_id, r.neighbor_id) for r in
+             ann.cosine_topk_bruteforce(emb, q, k=5).collect())
+    p1 = set((r.query_id, r.neighbor_id) for r in
+             ann.ivf_topk(emb, q, dim=4, k=5, n_clusters=4,
+                          n_probe=2).collect())
+    p2 = set((r.query_id, r.neighbor_id) for r in
+             ann.ivf_topk(emb, q, dim=4, k=5, n_clusters=4,
+                          n_probe=2).collect())
+    assert p1 == p2                       # deterministic
+    assert len(bf & p1) / len(bf) >= 0.4  # sane recall at half probe
+
+
+def test_ann_ivf_train_centroids_unit_norm(spark):
+    import math as _m
+    rows = [(i, [float((i + j) % 5) for j in range(4)], 0)
+            for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    cents = ann.ivf_train_centroids(emb, dim=4, n_clusters=3)
+    assert len(cents) == 3
+    for c in cents:
+        assert abs(_m.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
