@@ -82,10 +82,13 @@ def _weak_components_raw(graph: Graph, max_iter: int = 200,
         new = (half.join(m, half["c1"] == m["mid"], "left")
                .select(half[ID], "old",
                        F.least("c1", F.coalesce("mc", "c1")).alias("comp")))
-        new = new.persist()
-        changed = int(new.agg(
+        # advance first (the runner's eager checkpoint is the round's
+        # one full execution), then the changed-count reads the
+        # checkpointed RDD — no separate cache copy
+        state = runner.advance(step, new, metrics={})
+        changed = int(state.agg(
             F.sum((F.col("comp") != F.col("old")).cast("long"))).first()[0] or 0)
-        state = runner.advance(step, new, metrics={"changed": changed})
+        runner.history[-1]["changed"] = changed
         if changed == 0:
             break
     sym.unpersist()

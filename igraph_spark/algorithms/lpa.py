@@ -149,12 +149,14 @@ def label_propagation(graph: Graph, weights: bool | None = None,
                        F.when(updatable, F.col("best")).otherwise(F.col("prev"))
                        .alias("label"),
                        "prev", "fixed"))
-        new = new.persist()
-        # fused action: materialize + changed-count in one aggregate
-        changed = int(new.agg(F.sum(
+        # advance first (the runner's eager checkpoint is the round's
+        # one full execution), then the changed-count reads the
+        # checkpointed RDD — no separate cache copy
+        state = runner.advance(step, new, metrics={})
+        changed = int(state.agg(F.sum(
             (~F.col("label").eqNullSafe(F.col("prev"))).cast("long")))
             .first()[0] or 0)
-        state = runner.advance(step, new, metrics={"changed": changed})
+        runner.history[-1]["changed"] = changed
         stable_rounds = stable_rounds + 1 if changed == 0 else 0
         if stable_rounds >= 2:  # fixpoint for both parities
             break
