@@ -180,3 +180,180 @@ def evomine(edges: DataFrame, timesteps: int, min_supp: int,
     db = project_dynamic(edges, timesteps, max_ecolor)
     return gspan(db, min_supp=min_supp, max_edges=max_edges,
                  measure=measure)
+
+
+def read_transactions_velist(spark: SparkSession, path: str,
+                             has_vcolors: bool = False,
+                             has_ecolors: bool = False,
+                             has_etimes: bool = False):
+    """igraph_read_transactions_velist (dynamic.c:1150): a transaction
+    database file of ``t # <timestamp> [supp]`` headers, ``v <id>
+    [vcolor]`` lines, and ``e <src> <dst> [ecolor] [etime]`` lines.
+
+    Returns ``(edges, vcolors, supps)``:
+
+      * edges: DataFrame(gid, src, dst[, ecolor][, etime]) — feeds
+        ``fsm.gspan`` / support measures directly,
+      * vcolors: DataFrame(gid, id, vcolor) or None,
+      * supps: DataFrame(gid, t, supp) — supp -1 when absent.
+
+    Lines are parsed distributed; only the tiny header table (one row
+    per transaction) is collected to assign gid ranges, which then
+    broadcast-join back onto the line table.
+    """
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    lines = spark.createDataFrame(rdd, "value string, idx long")
+    lines = lines.select("idx",
+                         F.split(F.trim("value"), r"\s+").alias("f"))
+    hdrs = (lines.where((F.col("f")[0] == "t")
+                        & (F.get("f", 1) == "#"))
+            .select("idx", F.get("f", 2).cast("long").alias("t"),
+                    F.coalesce(F.get("f", 3).cast("long"),
+                               F.lit(-1)).alias("supp"))
+            .orderBy("idx").collect())
+    if not hdrs:
+        raise ValueError(f"invalid transactions file {path}: no 't #' "
+                         f"header")
+    ranges = [(gid, h["idx"], (hdrs[gid + 1]["idx"]
+                               if gid + 1 < len(hdrs) else 2 ** 62),
+               h["t"], h["supp"]) for gid, h in enumerate(hdrs)]
+    rdf = spark.createDataFrame(
+        ranges, "gid long, lo long, hi long, t long, supp long")
+    body = lines.join(F.broadcast(rdf),
+                      (F.col("idx") > F.col("lo"))
+                      & (F.col("idx") < F.col("hi")))
+    ecols = [F.get("f", 1).cast("long").alias(SRC),
+             F.get("f", 2).cast("long").alias(DST)]
+    pos = 3
+    if has_ecolors:
+        ecols.append(F.get("f", pos).cast("long").alias(ECOLOR))
+        pos += 1
+    if has_etimes:
+        ecols.append(F.get("f", pos).cast("long").alias("etime"))
+    edges = body.where(F.col("f")[0] == "e").select("gid", *ecols)
+    vcolors = None
+    if has_vcolors:
+        vcolors = (body.where(F.col("f")[0] == "v")
+                   .select("gid", F.get("f", 1).cast("long").alias("id"),
+                           F.get("f", 2).cast("long").alias("vcolor")))
+    supps = rdf.select("gid", "t", "supp")
+    return edges, vcolors, supps
+
+
+def write_avm(path: str, n: int, t: int, avg_degree: int = 4,
+              opinion_prior: float = 0.5, rewiring_p: float = 0.5,
+              rewirings_per_t: int = 1, seed: int = 42) -> None:
+    """igraph_write_avm / _collected (dynamic.c:1496): the adaptive
+    voter model snapshot stream — ER(n, avg_degree*n/2) start, opinions
+    in {1, 2} ~ Bernoulli(opinion_prior); per timestep pick a
+    discordant edge, pick a resolver endpoint, then with probability
+    ``rewiring_p`` rewire the resolver to a random same-opinion vertex,
+    else the resolver adopts the other's opinion.  Snapshots are
+    written as ``t # <k>`` + colored-graph blocks.
+
+    Deviations from the reference, both documented: the PRNG is
+    numpy's seeded generator (the reference calls srand(time(NULL)) —
+    unreproducible), and the reference's possibly-infinite rejection
+    loops (its own TODO) are replaced by sampling from the
+    materialized discordant-edge / same-opinion sets, raising when
+    empty (consensus) instead of spinning.
+    """
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    m = int(avg_degree * n / 2)
+    edges: list = []
+    eset = set()
+    while len(edges) < m:  # ER G(n,m) without loops/multi-edges
+        a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+        if a == b:
+            continue
+        key = (a, b) if a < b else (b, a)
+        if key in eset:
+            continue
+        eset.add(key)
+        edges.append(key)
+    opinions = 1 + (rng.random(n) < opinion_prior).astype(int)
+
+    def block(fh, k):
+        fh.write(f"t # {k}\n")
+        for v in range(n):
+            fh.write(f"v {v} {int(opinions[v])}\n")
+        for a, b in sorted(eset):
+            fh.write(f"e {a} {b}\n")
+
+    with open(path, "w") as fh:
+        block(fh, 0)
+        for step in range(t):
+            for _ in range(rewirings_per_t):
+                disc = [e for e in eset
+                        if opinions[e[0]] != opinions[e[1]]]
+                if not disc:
+                    raise ValueError(
+                        f"consensus reached at timestep {step}: no "
+                        f"discordant edge to resolve")
+                a, b = disc[int(rng.integers(0, len(disc)))]
+                if int(rng.integers(0, 2)):
+                    resolv, other = a, b
+                else:
+                    resolv, other = b, a
+                if rng.random() < rewiring_p:
+                    same = [v for v in range(n)
+                            if v != resolv
+                            and opinions[v] == opinions[resolv]
+                            and (min(v, resolv), max(v, resolv))
+                            not in eset]
+                    if not same:
+                        continue  # no rewiring target; skip the event
+                    v_new = same[int(rng.integers(0, len(same)))]
+                    eset.discard((min(a, b), max(a, b)))
+                    eset.add((min(resolv, v_new), max(resolv, v_new)))
+                else:
+                    opinions[resolv] = opinions[other]
+            block(fh, step + 1)
+
+
+def citing_evolved_network(path: str, t: int, n: int,
+                           edges_per_step: int = 1, m: float = 2.0,
+                           seed: int = 42) -> None:
+    """igraph_citing_evolved_network (dynamic.c:1585): a Price-model
+    citation stream — an initial cited-type seed graph on ``n``
+    vertices, then ``t`` evolution steps where vertex ``n + i`` cites
+    ``max(0, round(N(m, 0.5)))`` targets chosen proportional to
+    ``1 + in_degree`` (the classic vertex-or-edge-endpoint index
+    trick); every step appends a ``t # <k>`` snapshot block.
+
+    Deviations, documented: seeded numpy PRNG (the reference seeds
+    from time(NULL)), and the reference's evolution loop increments
+    the wrong variable (``for(i=0; i<t; t++)`` — it never terminates);
+    this build runs the intended ``t`` steps.
+    """
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    edges: list = []
+    # seed graph: each vertex v>=1 cites one earlier vertex chosen
+    # proportional to 1 + in_degree (igraph_cited_type_game with one
+    # type reduces to exactly this)
+    for v in range(1, n):
+        for _ in range(edges_per_step):
+            ridx = int(rng.integers(0, v + len(edges)))
+            target = ridx if ridx < v else edges[ridx - v][1]
+            edges.append((v, target))
+
+    def block(fh, k, vcount):
+        fh.write(f"t # {k}\n")
+        for v in range(vcount):
+            fh.write(f"v {v}\n")
+        for a, b in edges:
+            fh.write(f"e {a} {b}\n")
+
+    with open(path, "w") as fh:
+        block(fh, 0, n + t)
+        for i in range(t):
+            v_new = n + i
+            out_degree = max(0, int(np.floor(rng.normal(m, 0.5))))
+            vcount = v_new  # citable: all existing vertices
+            for _ in range(out_degree):
+                ridx = int(rng.integers(0, vcount + len(edges)))
+                target = ridx if ridx < vcount else edges[ridx - vcount][1]
+                edges.append((v_new, target))
+            block(fh, i + 1, n + t)

@@ -101,3 +101,90 @@ def test_evomine_finds_persistent_pattern(spark):
     # transitions -> the single-edge ecolor-3 pattern has support 3
     pats = {(fp.pattern.ecolors, fp.support) for fp in found}
     assert ((3,), 3) in pats
+
+
+# --------------------------------------- transactions / stream writers
+
+
+def test_read_transactions_velist_roundtrip(spark, tmp_path):
+    from igraph_spark.algorithms.dynamic_graphs import (
+        read_transactions_velist)
+    p = str(tmp_path / "txn.txt")
+    with open(p, "w") as fh:
+        fh.write("t # 0 5\n")
+        fh.write("v 0 1\nv 1 2\nv 2 1\n")
+        fh.write("e 0 1 3\ne 1 2 4\n")
+        fh.write("t # 1\n")
+        fh.write("v 0 2\nv 1 1\n")
+        fh.write("e 0 1 7\n")
+    edges, vcolors, supps = read_transactions_velist(
+        spark, p, has_vcolors=True, has_ecolors=True)
+    got = sorted((r.gid, r.src, r.dst, r.ecolor) for r in edges.collect())
+    assert got == [(0, 0, 1, 3), (0, 1, 2, 4), (1, 0, 1, 7)]
+    vc = sorted((r.gid, r.id, r.vcolor) for r in vcolors.collect())
+    assert vc == [(0, 0, 1), (0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 1, 1)]
+    sp = sorted((r.gid, r.t, r.supp) for r in supps.collect())
+    assert sp == [(0, 0, 5), (1, 1, -1)]
+
+
+def test_transactions_feed_gspan_support(spark, tmp_path):
+    from igraph_spark.algorithms.dynamic_graphs import (
+        read_transactions_velist)
+    from igraph_spark.algorithms.fsm import Pattern, shallow_support
+    p = str(tmp_path / "txn2.txt")
+    with open(p, "w") as fh:
+        for gid in range(3):
+            fh.write(f"t # {gid}\n")
+            fh.write("v 0\nv 1\nv 2\n")
+            fh.write("e 0 1\n")
+            if gid < 2:
+                fh.write("e 1 2\n")
+    edges, _, _ = read_transactions_velist(spark, p)
+    # the 2-edge wedge pattern appears in gids 0 and 1 only
+    pat = Pattern(edges=((0, 1), (1, 2)))
+    supp = shallow_support(edges, pat)
+    assert sorted(r.gid for r in supp.collect()) == [0, 1]
+
+
+def test_write_avm_stream_invariants(spark, tmp_path):
+    from igraph_spark.algorithms.dynamic_graphs import write_avm
+    p = str(tmp_path / "avm.txt")
+    write_avm(p, n=20, t=5, avg_degree=4, opinion_prior=0.5,
+              rewiring_p=0.5, seed=3)
+    blocks, ecounts, ops = 0, [], set()
+    cur = 0
+    for line in open(p):
+        tok = line.split()
+        if tok[0] == "t":
+            blocks += 1
+            ecounts.append(0)
+        elif tok[0] == "e":
+            ecounts[-1] += 1
+        elif tok[0] == "v":
+            ops.add(int(tok[2]))
+    assert blocks == 6                      # t=0 .. t=5
+    assert len(set(ecounts)) == 1           # rewiring preserves |E|
+    assert ops <= {1, 2}
+    # determinism
+    p2 = str(tmp_path / "avm2.txt")
+    write_avm(p2, n=20, t=5, avg_degree=4, opinion_prior=0.5,
+              rewiring_p=0.5, seed=3)
+    assert open(p).read() == open(p2).read()
+
+
+def test_citing_evolved_network_growth(spark, tmp_path):
+    from igraph_spark.algorithms.dynamic_graphs import (
+        citing_evolved_network)
+    p = str(tmp_path / "cite.txt")
+    citing_evolved_network(p, t=4, n=6, edges_per_step=1, m=2.0, seed=7)
+    ecounts = []
+    for line in open(p):
+        tok = line.split()
+        if tok[0] == "t":
+            ecounts.append(0)
+        elif tok[0] == "e":
+            ecounts[-1] += 1
+            a, b = int(tok[1]), int(tok[2])
+            assert b < a                     # citations point backward
+    assert len(ecounts) == 5                 # t=0 .. t=4
+    assert ecounts == sorted(ecounts)        # monotone growth
