@@ -88,7 +88,7 @@ def _weak_components_raw(graph: Graph, max_iter: int = 200,
         state = runner.advance(step, new, metrics={})
         changed = int(state.agg(
             F.sum((F.col("comp") != F.col("old")).cast("long"))).first()[0] or 0)
-        runner.history[-1]["changed"] = changed
+        runner.update_metrics(step, {"changed": changed})
         if changed == 0:
             break
     sym.unpersist()

@@ -318,7 +318,7 @@ def citing_evolved_network(path: str, t: int, n: int,
     """igraph_citing_evolved_network (dynamic.c:1585): a Price-model
     citation stream — an initial cited-type seed graph on ``n``
     vertices, then ``t`` evolution steps where vertex ``n + i`` cites
-    ``max(0, round(N(m, 0.5)))`` targets chosen proportional to
+    ``max(0, floor(N(m, 0.5)))`` targets chosen proportional to
     ``1 + in_degree`` (the classic vertex-or-edge-endpoint index
     trick); every step appends a ``t # <k>`` snapshot block.
 

@@ -19,7 +19,7 @@ from igraph_spark.graph import Graph, ID, SRC, DST, WEIGHT
 from igraph_spark.algorithms.visitors import MAX_DRIVER_EDGES
 
 
-def _exact_fas_component(verts: list, W: dict, inw: dict) -> dict:
+def _exact_fas_component(verts: list, W: dict) -> dict:
     """Minimum-weight linear ordering of one weak component by
     Held-Karp subset DP — the same optimum as the reference's
     IGRAPH_FAS_EXACT_IP linear-ordering IP (feedback_arc_set.c:429-536,
@@ -27,7 +27,8 @@ def _exact_fas_component(verts: list, W: dict, inw: dict) -> dict:
     (documented deviation: exact DP instead of GLPK; identical
     minima).  f(S) = cost of the best prefix placing exactly S; placing
     v next adds the weight of arcs into v from the still-unplaced
-    vertices: inw(v) - sum_{u in S} w(u->v).  Returns {vertex: rank}.
+    vertices: col_in(v) - sum_{u in S} w(u->v), where col_in is the
+    total in-weight recomputed from W.  Returns {vertex: rank}.
     """
     import numpy as np
     n = len(verts)
@@ -206,12 +207,11 @@ def _feedback_arc_set_exact(graph: Graph, weights: bool | None,
                 f"max_exact_vertices={max_exact_vertices} (NP-hard; "
                 f"use method='approx_eades' at this size)")
         W: dict[tuple, float] = {}
-        inw: dict[int, float] = {v: 0.0 for v in members}
         mset = set(members)
         for u, v, w in rows:
             if u in mset and v in mset and u != v:
                 W[(u, v)] = W.get((u, v), 0.0) + w
-        rank.update(_exact_fas_component(members, W, inw))
+        rank.update(_exact_fas_component(members, W))
 
     spark = graph.edges.sparkSession
     ranks = spark.createDataFrame(list(rank.items()), "id long, r long")

@@ -398,7 +398,32 @@ def mincut(graph: Graph, weights: bool | None = None,
     to the minimum vertex id).  Directed (igraph_i_mincut_directed): a
     global cut has s on either side, so probe BOTH (s,t) and (t,s) per
     candidate t."""
-    if not graph.directed and graph.ecount() <= driver_threshold:
+    # Distributed short-circuit BEFORE any driver gate: a vertex touched
+    # by no non-loop edge sits alone on a value-0 cut, and a sparse
+    # graph with few edges but millions of isolated vertices must never
+    # reach the driver-side SW collect (which materializes the vertex
+    # set) or the probe loop.
+    if graph.vcount() >= 2:
+        nonloop = graph.edges.where(F.col(SRC) != F.col(DST))
+        endpoints = (nonloop.select(F.col(SRC).alias(ID))
+                     .union(nonloop.select(F.col(DST).alias(ID)))
+                     .distinct())
+        iso_min = (graph.vertices.select(ID)
+                   .join(endpoints, ID, "left_anti")
+                   .agg(F.min(ID)).first()[0])
+        if iso_min is not None:
+            v0 = int(iso_min)
+            vmin = int(graph.vertices.agg(F.min(ID)).first()[0])
+            # side 0 = the side holding the minimum vertex id
+            alone = 0 if v0 == vmin else 1
+            part = graph.vertices.select(
+                ID, F.when(F.col(ID) == v0, F.lit(alone))
+                     .otherwise(F.lit(1 - alone)).alias("side"))
+            spark = graph.edges.sparkSession
+            cut = spark.createDataFrame([], "src long, dst long, cap double")
+            return {"value": 0.0, "partition": part, "cut": cut}
+    if (not graph.directed and graph.ecount() <= driver_threshold
+            and graph.vcount() <= driver_threshold):
         return _mincut_undirected_sw(graph, weights)
     ids = [int(r[0]) for r in graph.vertices.select(ID).orderBy(ID)
            .collect()]

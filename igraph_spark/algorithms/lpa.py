@@ -156,7 +156,7 @@ def label_propagation(graph: Graph, weights: bool | None = None,
         changed = int(state.agg(F.sum(
             (~F.col("label").eqNullSafe(F.col("prev"))).cast("long")))
             .first()[0] or 0)
-        runner.history[-1]["changed"] = changed
+        runner.update_metrics(step, {"changed": changed})
         stable_rounds = stable_rounds + 1 if changed == 0 else 0
         if stable_rounds >= 2:  # fixpoint for both parities
             break

@@ -165,9 +165,12 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
     # the aggregated flows instead of two (vinfo join eliminated from
     # the hot loop — measured ~25% off the 10-superstep bench leg)
     state0 = vinfo.select(ID, uniform.alias("pr"), "dangling", "reset")
+    # "state": 2 versions the (id, pr, dangling, reset) schema so a
+    # durable manifest written by the old (id, pr) code never matches
+    # on resume (runner.start also column-validates as a backstop)
     state, start, _ = runner.start(
         state0, params={"algo": "pagerank", "damping": d, "tol": tol,
-                        "weighted": use_w, "n": n})
+                        "weighted": use_w, "n": n, "state": 2})
 
     # jump-pool mass + total of the starting state (scalars to the
     # driver once per superstep — the only data that ever crosses back,
@@ -207,7 +210,7 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
             F.sum("pr").alias("total")).first())
         delta, sumfrom, total = (float(row.delta), float(row.sumfrom),
                                  float(row.total))
-        runner.history[-1]["delta"] = delta
+        runner.update_metrics(step, {"delta": delta})
         if delta < tol:
             converged = True
             break

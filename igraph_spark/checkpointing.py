@@ -110,10 +110,17 @@ class SuperstepRunner:
         if (man is not None and man.get("params") == self._params
                 and not man.get("completed", False)):
             state = self.spark.read.parquet(man["state_path"])
-            self.history = man["history"]
-            state = state.persist(self.storage)
-            self._prev = state
-            return state, man["superstep"] + 1, self.history
+            # a manifest written by an older code version can match on
+            # params yet hold a state parquet with a different schema
+            # (e.g. pagerank's (id, pr) -> (id, pr, dangling, reset));
+            # resuming would then fail mid-loop on unresolved columns.
+            # Validate the column set against the caller's init_df and
+            # fall back to a fresh run on mismatch.
+            if set(state.columns) == set(init_df.columns):
+                self.history = man["history"]
+                state = state.persist(self.storage)
+                self._prev = state
+                return state, man["superstep"] + 1, self.history
         if self.run_dir:
             os.makedirs(self.run_dir, exist_ok=True)
         state = init_df.persist(self.storage)
@@ -166,6 +173,35 @@ class SuperstepRunner:
             self._prev.unpersist()
         self._prev = out
         return out
+
+    def update_metrics(self, step: int, metrics: dict) -> None:
+        """Attach metrics measured AFTER advance() to that superstep's
+        history record, and rewrite the manifest when the step was
+        durably checkpointed.
+
+        The advance-then-measure pattern (the runner's eager checkpoint
+        is the superstep's one full execution; the convergence aggregate
+        then reads the checkpointed RDD) means delta/changed are only
+        known after advance() has already serialized history into the
+        durable manifest — patching ``runner.history[-1]`` alone would
+        leave persisted manifests permanently missing the metric for
+        exactly the checkpointed supersteps, so a resumed run's history
+        would diverge from a straight run's (the manifest's stated audit
+        contract).
+        """
+        for rec in reversed(self.history):
+            if rec["superstep"] == step:
+                rec.update(metrics)
+                break
+        else:
+            return
+        man = self._read_manifest()
+        if man is not None and man.get("params") == self._params:
+            man["history"] = self.history
+            tmp = self._manifest_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(man, fh, indent=1)
+            os.replace(tmp, self._manifest_path())
 
     def _prune_states(self, keep: str) -> None:
         """Delete superseded durable state_* directories once a newer

@@ -136,3 +136,35 @@ def test_mincut_sw_random_vs_bruteforce(spark):
                    if (u in side) != (v in side))
         best = min(best, cost)
     assert r["value"] == best
+
+
+def test_mincut_isolated_vertex_short_circuit(spark):
+    """A graph with an isolated vertex has a value-0 mincut that must
+    be found WITHOUT collecting the vertex set to the driver (the
+    sparse-edges/many-vertices case the SW driver gate alone misses).
+    Exercised here at small n; the short-circuit path is the same plan
+    shape at any vcount."""
+    # triangle + isolated vertex 3; vertex 5 also isolated
+    edges = [(0, 1), (1, 2), (2, 0), (4, 4)]   # 4 has only a self-loop
+    g = Graph.from_edge_list(spark, edges, n=6, directed=False)
+    r = mincut(g)
+    assert r["value"] == 0.0
+    part = {x.id: x.side for x in r["partition"].collect()}
+    assert set(part) == set(range(6))
+    # side 0 holds the minimum vertex id (vertex 0 here, which is NOT
+    # isolated, so the singleton isolated side is side 1)
+    assert part[0] == 0
+    sides = set(part.values())
+    assert sides == {0, 1}
+    # the singleton side is one isolated vertex (min-id isolated = 3)
+    singleton = [v for v, s in part.items() if s == 1]
+    assert singleton == [3]
+    assert r["cut"].count() == 0
+
+    # isolated vertex IS the min id -> it sits alone on side 0
+    g2 = Graph.from_edge_list(spark, [(1, 2), (2, 3)], n=4, directed=False)
+    r2 = mincut(g2)
+    assert r2["value"] == 0.0
+    part2 = {x.id: x.side for x in r2["partition"].collect()}
+    assert part2[0] == 0
+    assert [v for v, s in part2.items() if s == 0] == [0]

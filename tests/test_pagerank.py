@@ -130,3 +130,54 @@ def test_resume_from_checkpoint(spark, tmp_path):
     got = _scores(full, 8)
     want = pagerank_oracle(8, PR8, directed=True)
     assert np.allclose(got, want, atol=1e-6)
+
+
+def test_resume_rejects_stale_state_schema(spark, tmp_path):
+    """A durable manifest written by an older code version (state
+    schema (id, pr), params without the version marker) must NOT be
+    resumed: the params no longer match (pagerank now stamps
+    "state": 2), and even a params-forged manifest is rejected by the
+    runner's column validation (checkpointing.start)."""
+    import json, os
+    run_dir = str(tmp_path / "pr_stale")
+    g = Graph.from_edge_list(spark, PR8, n=8, directed=True)
+    # forge an old-version manifest: state parquet WITHOUT the
+    # dangling/reset columns, params copied from what the current code
+    # would write (so only the column check can reject it)
+    os.makedirs(run_dir)
+    old_state = spark.createDataFrame(
+        [(i, 1.0 / 8) for i in range(8)], "id long, pr double")
+    state_path = os.path.join(run_dir, "state_000004")
+    old_state.write.parquet(state_path)
+    manifest = {
+        "superstep": 4, "state_path": state_path, "partitions": [],
+        "history": [{"superstep": s} for s in range(5)],
+        "params": {"algo": "pagerank", "damping": 0.85, "tol": 1e-10,
+                   "weighted": False, "n": 8, "state": 2},
+    }
+    with open(os.path.join(run_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    # must fall back to a fresh run and still converge correctly
+    full = pagerank(g, tol=1e-10, max_iter=300, check_every=5,
+                    run_dir=run_dir)
+    got = _scores(full, 8)
+    want = pagerank_oracle(8, PR8, directed=True)
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_durable_manifest_history_carries_delta(spark, tmp_path):
+    """update_metrics must rewrite the durable manifest so checkpointed
+    supersteps keep their convergence metric (a resumed run's history
+    must match a straight run's — the manifest audit contract)."""
+    import json, os
+    run_dir = str(tmp_path / "pr_metrics")
+    g = Graph.from_edge_list(spark, PR8, n=8, directed=True)
+    pagerank(g, tol=1e-10, max_iter=20, check_every=5, run_dir=run_dir)
+    with open(os.path.join(run_dir, "manifest.json")) as fh:
+        man = json.load(fh)
+    assert man["history"], "manifest should carry superstep history"
+    for rec in man["history"]:
+        assert "delta" in rec, (
+            f"superstep {rec['superstep']} missing delta in the durable "
+            "manifest — advance() serialized history before the metric "
+            "was measured and update_metrics did not rewrite it")
