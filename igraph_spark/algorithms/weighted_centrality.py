@@ -16,16 +16,22 @@ fixpoints:
      localCheckpointed so lineage stays flat.
   2. tight DAG  — edges on shortest paths: dist(u) + w == dist(v),
      built with two distance joins.  Every geodesic is a path in this
-     DAG, so its depth is <= H.
-  3. sigma      — path counts as a forward fixpoint on the DAG:
+     DAG, so its depth is exactly H.
+  3. sigma      — path counts as a forward recurrence on the DAG:
      sigma_k(s,v) = [v=s] + sum_{(u,v) tight} sigma_{k-1}(s,u);
-     monotone, exact after depth(DAG) <= H rounds.
-  4. delta      — Brandes dependencies as a backward fixpoint:
+     exact after depth(DAG) = H rounds.
+  4. delta      — Brandes dependencies as a backward recurrence:
      delta_k(s,v) = sum_{(v,w) tight} sigma_v/sigma_w * (1+delta_{k-1}(s,w));
-     monotone, exact after H rounds.
+     exact after H rounds.
 
-All four phases stop early on a fused (count, sum) convergence
-aggregate — one scalar action per round, no collect of state.
+Convergence detection is integer-only (never float-sum equality — a
+double sum is not order-deterministic across Spark partitionings, so
+two mathematically-converged rounds could compare unequal forever):
+the distance phase counts CHANGED ROWS per round (new pair reached, or
+a strictly smaller dist — both exact comparisons of copied doubles)
+and stops at the first zero-change round, which also measures H; the
+sigma and delta phases then run for exactly H rounds with no per-round
+convergence action at all.
 
 Scale: exact mode is O(sources * V) state rows per round, the same
 O(V*E) total work as the reference's exact loop; the sampled
@@ -77,30 +83,45 @@ def _weighted_edges(graph: Graph, use_directed: bool,
 
 
 def weighted_distances(e: DataFrame, src_df: DataFrame,
-                       max_rounds: int = 1000) -> DataFrame:
-    """Multi-source Bellman-Ford fixpoint -> (s, id, dist) for every
-    reachable pair.  ``e``: (src, dst, w) with positive w; ``src_df``:
-    one column ``s``.  Convergence is detected with one fused
-    (row-count, sum-of-dists) aggregate per round — both are monotone,
-    so equality means fixpoint."""
+                       max_rounds: int = 1000
+                       ) -> tuple[DataFrame, int]:
+    """Multi-source Bellman-Ford fixpoint -> ((s, id, dist) for every
+    reachable pair, depth).  ``e``: (src, dst, w) with positive w;
+    ``src_df``: one column ``s``.
+
+    Convergence is an integer changed-row count: a row changed when a
+    new (s, id) pair was reached or its dist strictly decreased.  The
+    previous dist rides through the min-aggregate as a tagged copy, so
+    the comparison is between bit-identical doubles — exact and
+    deterministic under any partitioning (unlike a sum-of-dists
+    signature, whose accumulation order varies).  ``depth`` = number of
+    rounds that changed anything = max hop count H over weighted
+    geodesics = the tight DAG's depth, which bounds the sigma/delta
+    recurrences downstream."""
     dist = (src_df.select("s", F.col("s").alias(ID),
                           F.lit(0.0).alias("dist"))
             .localCheckpoint(eager=True))
-    prev_sig = None
+    depth = 0
     for _ in range(max_rounds):
         cand = (dist.join(e, dist[ID] == e[SRC])
                 .select("s", F.col(DST).alias(ID),
-                        (F.col("dist") + F.col("w")).alias("dist")))
-        dist = (dist.unionByName(cand)
-                .groupBy("s", ID).agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True))
-        row = dist.agg(F.count("*").alias("n"),
-                       F.sum("dist").alias("t")).first()
-        sig = (row["n"], row["t"])
-        if sig == prev_sig:
+                        (F.col("dist") + F.col("w")).alias("dist"),
+                        F.lit(False).alias("is_old")))
+        merged = (dist.select("s", ID, "dist", F.lit(True).alias("is_old"))
+                  .unionByName(cand)
+                  .groupBy("s", ID)
+                  .agg(F.min("dist").alias("dist"),
+                       F.min(F.when(F.col("is_old"), F.col("dist")))
+                       .alias("old"))
+                  .localCheckpoint(eager=True))
+        changed = (merged.where(F.col("old").isNull()
+                                | (F.col("dist") < F.col("old")))
+                   .count())
+        dist = merged.select("s", ID, "dist")
+        if changed == 0:
             break
-        prev_sig = sig
-    return dist
+        depth += 1
+    return dist, depth
 
 
 def _tight_edges(e: DataFrame, dist: DataFrame) -> DataFrame:
@@ -116,17 +137,19 @@ def _tight_edges(e: DataFrame, dist: DataFrame) -> DataFrame:
 
 
 def _sigma_fixpoint(t: DataFrame, dist: DataFrame,
-                    max_rounds: int) -> DataFrame:
+                    rounds: int) -> DataFrame:
     """Geodesic counts on the tight DAG -> (s, id, sigma), domain =
-    reachable pairs.  Monotone: exact once a round leaves the total
-    unchanged."""
+    reachable pairs.  sigma_k counts geodesics of <= k hops, so after
+    ``rounds`` = DAG depth H iterations every count is exact; running
+    the recurrence exactly H times needs no per-round convergence
+    action (and no float-equality test, which partitioning-dependent
+    sum order would make unreliable)."""
     base = dist.select("s", ID,
                        F.when(F.col(ID) == F.col("s"), F.lit(1.0))
                        .otherwise(F.lit(0.0)).alias("seed"))
     sigma = base.select("s", ID, F.col("seed").alias("sigma")) \
         .localCheckpoint(eager=True)
-    prev_total = None
-    for _ in range(max_rounds):
+    for _ in range(rounds):
         inc = (t.join(sigma.select("s", F.col(ID).alias("u"),
                                    "sigma"), ["s", "u"])
                .groupBy("s", F.col("v").alias(ID))
@@ -136,18 +159,17 @@ def _sigma_fixpoint(t: DataFrame, dist: DataFrame,
                          (F.col("seed") + F.coalesce("inc", F.lit(0.0)))
                          .alias("sigma"))
                  .localCheckpoint(eager=True))
-        total = sigma.agg(F.sum("sigma")).first()[0]
-        if total == prev_total:
-            break
-        prev_total = total
     return sigma
 
 
 def _delta_fixpoint(t: DataFrame, sigma: DataFrame,
-                    max_rounds: int) -> DataFrame:
-    """Brandes pair dependencies as a backward fixpoint ->
+                    rounds: int) -> DataFrame:
+    """Brandes pair dependencies as a backward recurrence ->
     (s, id, delta).  t2 carries sigma at both endpoints so each round
-    is one join with the previous delta + one aggregate."""
+    is one join with the previous delta + one aggregate.  delta_k is
+    exact for every vertex whose deepest downstream DAG path is <= k,
+    so ``rounds`` = DAG depth H iterations make all of them exact — no
+    per-round action, no float-equality convergence test."""
     t2 = (t.join(sigma.select("s", F.col(ID).alias("u"),
                               F.col("sigma").alias("su")), ["s", "u"])
           .join(sigma.select("s", F.col(ID).alias("v"),
@@ -156,8 +178,7 @@ def _delta_fixpoint(t: DataFrame, sigma: DataFrame,
     base = sigma.select("s", ID)
     delta = base.select("s", ID, F.lit(0.0).alias("delta")) \
         .localCheckpoint(eager=True)
-    prev_total = None
-    for _ in range(max_rounds):
+    for _ in range(rounds):
         nxt = (t2.join(delta.select("s", F.col(ID).alias("v"), "delta"),
                        ["s", "v"])
                .groupBy("s", F.col("u").alias(ID))
@@ -167,10 +188,6 @@ def _delta_fixpoint(t: DataFrame, sigma: DataFrame,
                  .select("s", ID, F.coalesce("d", F.lit(0.0))
                          .alias("delta"))
                  .localCheckpoint(eager=True))
-        total = delta.agg(F.sum("delta")).first()[0]
-        if total == prev_total:
-            break
-        prev_total = total
     t2.unpersist()
     return delta
 
@@ -202,10 +219,11 @@ def betweenness_weighted(graph: Graph, sources=None,
             sources = sample_sources(graph, sample_size, seed)
             scale_up = n / float(sample_size)
     e = _weighted_edges(graph, use_directed, weight_col)
-    dist = weighted_distances(e, _source_df(graph, sources), max_rounds)
+    dist, depth = weighted_distances(e, _source_df(graph, sources),
+                                     max_rounds)
     t = _tight_edges(e, dist).persist(StorageLevel.MEMORY_AND_DISK)
-    sigma = _sigma_fixpoint(t, dist, max_rounds)
-    delta = _delta_fixpoint(t, sigma, max_rounds)
+    sigma = _sigma_fixpoint(t, dist, depth)
+    delta = _delta_fixpoint(t, sigma, depth)
     t.unpersist()
     e.unpersist()
     scale = (0.5 if not use_directed else 1.0) * scale_up
@@ -244,7 +262,7 @@ def closeness_weighted(graph: Graph, mode: str = "out",
                             flip=not flip)
         pivots = sample_sources(graph, sample_size, seed) \
             .select(F.col(ID).alias("s"))
-        d = weighted_distances(e, pivots, max_rounds)
+        d, _ = weighted_distances(e, pivots, max_rounds)
         e.unpersist()
         agg = (d.where(F.col("dist") > 0)
                .groupBy(ID)
@@ -254,7 +272,7 @@ def closeness_weighted(graph: Graph, mode: str = "out",
                           .alias("closeness"))
     e = _weighted_edges(graph, use_directed, weight_col, flip=flip)
     src = graph.vertices.select(F.col(ID).alias("s"))
-    d = weighted_distances(e, src, max_rounds)
+    d, _ = weighted_distances(e, src, max_rounds)
     e.unpersist()
     agg = (d.where(F.col("dist") > 0)
            .groupBy("s")
