@@ -1,0 +1,71 @@
+"""Machine-checkable gate-window rotation ledger (GATE_WINDOW.json).
+
+The driver's official correctness gate evaluates the first 50 entries
+of __spark_entry__.queries().  GATE_WINDOW.json records which cohort
+was gated in which round (r01-r04 copied verbatim from the committed
+CORRECTNESS artifacts, r05 = the planned window); these tests pin the
+ledger to the code so the rotation policy is verifiable without
+reading prose.
+"""
+
+import json
+import os
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+NORTH = ["pagerank", "ppr", "wcc_sizes", "scc_sizes",
+         "lpa_community_sizes", "triangle_count", "triangles_per_vertex",
+         "transitivity"]
+
+
+@pytest.fixture(scope="module")
+def ledger():
+    with open(os.path.join(ROOT, "GATE_WINDOW.json")) as fh:
+        return json.load(fh)
+
+
+@pytest.fixture(scope="module")
+def registered():
+    import sys
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as entry
+    return list(entry.queries().keys())
+
+
+def test_window_matches_registration_order(ledger, registered):
+    window = ledger["rounds"]["r05"]
+    assert len(window) == ledger["window_size"] == 50
+    assert registered[:50] == window, (
+        "the first 50 queries() entries must be exactly the r05 window "
+        "recorded in GATE_WINDOW.json")
+
+
+def test_north_rule_always_gated(ledger):
+    # the always-gated policy was established by the round-3 verdict;
+    # r01/r02 predate it (their windows were coverage-ordered)
+    for rnd in ("r03", "r04", "r05"):
+        cohort = ledger["rounds"][rnd]
+        for q in NORTH:
+            assert q in cohort, f"{q} missing from the {rnd} gate"
+
+
+def test_two_round_rotation_policy(ledger, registered):
+    """Every registered query must be gated in the current or previous
+    round (officially gated at least once every two rounds)."""
+    recent = set(ledger["rounds"]["r04"]) | set(ledger["rounds"]["r05"])
+    missing = [q for q in registered if q not in recent]
+    assert not missing, f"queries not gated in r04 or r05: {missing}"
+
+
+def test_changed_queries_enter_window(ledger):
+    window = set(ledger["rounds"]["r05"])
+    for q in ledger["changed_in"]["r05"]:
+        assert q in window, f"changed query {q} must gate the round it ships"
+
+
+def test_historic_cohorts_match_artifacts(ledger):
+    for rnd in ("r02", "r03", "r04"):
+        with open(os.path.join(ROOT, f"CORRECTNESS_{rnd}.json")) as fh:
+            assert ledger["rounds"][rnd] == list(json.load(fh).keys())
