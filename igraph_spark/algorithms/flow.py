@@ -270,27 +270,63 @@ def st_mincut(graph: Graph, s: int, t: int,
     return maxflow(graph, s, t, weights)
 
 
-def gomory_hu_tree(graph: Graph, weights: bool | None = None) -> DataFrame:
+def gomory_hu_tree(graph: Graph, weights: bool | None = None,
+                   batch_size: int = 8,
+                   driver_threshold: int = DRIVER_FLOW_ARCS) -> DataFrame:
     """Gomory-Hu tree (igraph_gomory_hu_tree, the third member of the
     flow.c family) via Gusfield's algorithm: n-1 s-t maxflow calls, no
     vertex contraction -> DataFrame(src, dst, flow), a tree whose
     min-weight edge on the u..v path equals mincut(u, v) for EVERY
-    pair.  Each maxflow is the distributed Edmonds-Karp above; the
-    O(n) outer loop is driver-side like the reference's."""
+    pair.
+
+    Scale shape: the probes are SPECULATIVELY BATCHED — ``batch_size``
+    maxflows run concurrently as parallel Spark job groups (the
+    scheduler interleaves their BSP rounds across executors), then
+    commit in ascending vertex order; a probe whose parent was
+    reparented by an earlier commit in the same batch is discarded and
+    retried with its updated parent, so the committed sequence replays
+    sequential Gusfield EXACTLY (bit-identical tree) while idle-core
+    time between a distributed maxflow's BSP barriers is filled by the
+    sibling probes.  The first probe of every batch can never be
+    invalidated (commits only reparent later vertices), so each round
+    makes progress and the total probe count is < 2(n-1) in the worst
+    case.  The remaining O(n) outer loop is inherent to Gusfield — the
+    reference's own shape (flow.c gomory_hu)."""
+    from concurrent.futures import ThreadPoolExecutor
     spark = graph.edges.sparkSession
     ids = [int(r[0]) for r in graph.vertices.select(ID).orderBy(ID)
            .collect()]
     parent = [ids[0]] * len(ids)
     fval = [0.0] * len(ids)
-    for i in range(1, len(ids)):
-        s, t = ids[i], parent[i]
-        r = maxflow(graph, s, t, weights)
-        fval[i] = r["value"]
-        s_side = {int(x.id) for x in
-                  r["partition"].where("side = 0").collect()}
-        for j in range(i + 1, len(ids)):
-            if parent[j] == t and ids[j] in s_side:
-                parent[j] = s
+    pending = list(range(1, len(ids)))
+    batch_size = max(1, int(batch_size))
+    while pending:
+        batch = pending[:batch_size]
+        snap = {i: parent[i] for i in batch}
+        if len(batch) == 1:
+            results = {batch[0]: maxflow(graph, ids[batch[0]],
+                                         snap[batch[0]], weights,
+                                         driver_threshold=driver_threshold)}
+        else:
+            with ThreadPoolExecutor(max_workers=len(batch)) as ex:
+                futs = {i: ex.submit(maxflow, graph, ids[i], snap[i],
+                                     weights,
+                                     driver_threshold=driver_threshold)
+                        for i in batch}
+                results = {i: f.result() for i, f in futs.items()}
+        committed = set()
+        for i in batch:                      # ascending = Gusfield order
+            if parent[i] != snap[i]:
+                continue                     # stale speculation: retry
+            r = results[i]
+            fval[i] = r["value"]
+            s_side = {int(x.id) for x in
+                      r["partition"].where("side = 0").collect()}
+            for j in range(i + 1, len(ids)):
+                if parent[j] == snap[i] and ids[j] in s_side:
+                    parent[j] = ids[i]
+            committed.add(i)
+        pending = [i for i in pending if i not in committed]
     return spark.createDataFrame(
         [(ids[i], parent[i], fval[i]) for i in range(1, len(ids))],
         "src long, dst long, flow double")

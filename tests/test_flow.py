@@ -168,3 +168,44 @@ def test_mincut_isolated_vertex_short_circuit(spark):
     part2 = {x.id: x.side for x in r2["partition"].collect()}
     assert part2[0] == 0
     assert [v for v, s in part2.items() if s == 0] == [0]
+
+
+def test_gomory_hu_batched_forced_distributed(spark):
+    """Speculatively-batched Gusfield at driver_threshold=0 (every
+    probe runs the distributed Edmonds-Karp) must produce the
+    bit-identical tree of the sequential batch_size=1 loop, and the
+    tree must encode all pairwise mincuts."""
+    from igraph_spark.algorithms.flow import gomory_hu_tree
+    import collections
+    # weighted barbell + a chord so parents actually get reassigned
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3),
+             (1, 4)]
+    w = [1.0, 2.0, 1.0, 2.0, 1.0, 1.0, 1.0, 1.0]
+    g = Graph.from_edge_list(spark, edges, n=6, directed=False, weights=w)
+    seq = sorted((r.src, r.dst, r.flow)
+                 for r in gomory_hu_tree(g, batch_size=1,
+                                         driver_threshold=0).collect())
+    bat = sorted((r.src, r.dst, r.flow)
+                 for r in gomory_hu_tree(g, batch_size=4,
+                                         driver_threshold=0).collect())
+    assert bat == seq, "batched Gusfield must replay the sequential tree"
+
+    adj = collections.defaultdict(list)
+    for u, v, f in bat:
+        adj[u].append((v, f))
+        adj[v].append((u, f))
+
+    def tree_mincut(u, v):
+        seen = {u: float("inf")}
+        stack = [u]
+        while stack:
+            x = stack.pop()
+            for y, f in adj[x]:
+                if y not in seen:
+                    seen[y] = min(seen[x], f)
+                    stack.append(y)
+        return seen[v]
+
+    for u in range(6):
+        for v in range(u + 1, 6):
+            assert tree_mincut(u, v) == maxflow(g, u, v)["value"], (u, v)
