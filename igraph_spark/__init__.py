@@ -92,6 +92,14 @@ from igraph_spark.algorithms.isomorphism import (
     is_isomorphic,
     subgraph_isomorphisms,
 )
+from igraph_spark.algorithms.canonical import (
+    automorphism_generators,
+    canonical_form,
+    canonical_permutation,
+    isomorphic_canonical,
+    wl_colors,
+    wl_fingerprint,
+)
 from igraph_spark.algorithms.paths import (get_all_shortest_paths,
     get_shortest_paths, girth)
 from igraph_spark.algorithms.flow import (
@@ -233,6 +241,12 @@ __all__ = [
     "count_subisomorphisms",
     "is_isomorphic",
     "subgraph_isomorphisms",
+    "automorphism_generators",
+    "canonical_form",
+    "canonical_permutation",
+    "isomorphic_canonical",
+    "wl_colors",
+    "wl_fingerprint",
     "girth",
     "delta_stepping",
     "maxflow",

@@ -122,9 +122,9 @@ def _as_pattern(graph: Graph, max_vertices: int):
     if len(vids) > max_vertices:
         raise ValueError(
             f"whole-graph isomorphism enumerates vertex mappings — "
-            f"gated at {max_vertices} vertices (got {len(vids)}); the "
-            "reference's bliss canonical forms are a documented "
-            "non-goal")
+            f"gated at {max_vertices} vertices (got {len(vids)}); use "
+            "algorithms.canonical.isomorphic_canonical (bliss analog, "
+            "gated at 64) or wl_fingerprint at scale")
     edges = {(int(r[SRC]), int(r[DST]))
              for r in graph.edges.select(SRC, DST)
              .where(F.col(SRC) != F.col(DST)).distinct().collect()}
@@ -140,7 +140,8 @@ def is_isomorphic(g1: Graph, g2: Graph,
     dispatches 3/4-vertex graphs to isoclass and larger ones to VF2):
     exact graph isomorphism via the package's join-based VF2 analog,
     gated at ``max_vertices`` (mapping enumeration is exponential; the
-    reference's bliss path is a documented non-goal).  Isolated
+    reference's bliss path is algorithms.canonical, gated at 64).
+    Isolated
     vertices are interchangeable and compared by count."""
     if g1.directed != g2.directed:
         return False
