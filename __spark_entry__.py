@@ -923,6 +923,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n = count_subisomorphisms(g, [(0, 1), (1, 2), (2, 3), (3, 0)])
         return spark.createDataFrame([(n,)], "n_mappings long")
 
+    def q_subiso_lad(spark, sf):
+        # LAD analog (lad.c): domain-constrained injective mappings of
+        # the directed wedge v0->v1->v2 with v0 restricted to ids = 0
+        # (mod 3) and v2 to ids = 1 (mod 3); domains passed as a
+        # DataFrame (the distributed form of lad.c's domainsvec)
+        from igraph_spark.algorithms.lad import count_subisomorphisms_lad
+        g = _graph(_mod_edges(spark, sf), True)
+        v = g.vertices.select(F.col("id").alias("tv"))
+        dom = (v.where(F.col("tv") % 3 == 0)
+               .select(F.lit(0).alias("pu"), "tv")
+               .unionByName(v.select(F.lit(1).alias("pu"), "tv"))
+               .unionByName(v.where(F.col("tv") % 3 == 1)
+                            .select(F.lit(2).alias("pu"), "tv")))
+        with _lean_conf(spark):
+            n = count_subisomorphisms_lad(g, [(0, 1), (1, 2)],
+                                          domains=dom)
+        return spark.createDataFrame([(n,)], "n_mappings long")
+
     def q_constraint(spark, sf):
         from igraph_spark.algorithms.centrality import constraint
         g = _graph(_mod_edges(spark, sf), True)
@@ -1075,8 +1093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastgreedy_sizes": q_fastgreedy_sizes,
         "walktrap_sizes": q_walktrap_sizes,
         "ann_ivf_recall": q_ann_ivf_recall,
-        # -- keep-warm companion (the IVF pair gates together) --
-        "ann_ivf": q_ann_ivf,
+        # -- NEW in r05: LAD subgraph isomorphism (domains + filtering);
+        #    displaces ann_ivf (unchanged since its r04 official pass,
+        #    due back r06) per the new-query-ships-into-window policy --
+        "subiso_lad": q_subiso_lad,
         # -- rotation: the r03-gated cohort returns (due back r05) --
         "eigenvector": q_eigenvector,
         "hits": q_hits,
@@ -1114,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst": q_mst,
         "dedup_clusters": q_dedup_clusters,
         # ------- tail: r04-gated cohort, due back r06 -------
+        "ann_ivf": q_ann_ivf,
         "power_law_alpha": q_power_law_alpha,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -2899,6 +2920,12 @@ FROM (SELECT source, max(dist) AS ecc FROM md GROUP BY 1)""",
         "maximal_cliques": _maximal_cliques_oracle(),
         "girth": _girth_oracle(),
         "subiso_c4": _subiso_c4_oracle(),
+        "subiso_lad": f"""
+WITH e AS MATERIALIZED ({_MOD_E_SQL})
+SELECT CAST(count(*) AS BIGINT) AS n_mappings
+FROM e e1 JOIN e e2 ON e2.src = e1.dst
+WHERE e1.src <> e1.dst AND e2.src <> e2.dst
+  AND e1.src % 3 = 0 AND e2.dst % 3 = 1 AND e1.src <> e2.dst""",
         "constraint": _constraint_oracle(),
         "centralization_degree": _centralization_degree_oracle(),
         "scan1": _scan1_oracle(),
