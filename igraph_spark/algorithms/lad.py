@@ -13,10 +13,12 @@ solver; the Spark-native shape keeps the domain as a DataFrame
   (lad.c ``igraph_i_lad_initDomains`` compatibility check);
 * arc consistency to fixpoint — for every pattern edge ``(u, v)``, a
   candidate ``(u, a)`` survives only if some ``b ∈ D(v)`` with
-  ``(a, b)`` an edge of G exists.  One semi-join per pattern edge
-  per round, integer changed-row convergence, lineage truncated per
-  round — fully distributed, O(k·V) domain rows against the O(m)
-  edge table, no driver state;
+  ``(a, b)`` an edge of G exists.  All arc-sides are revised in
+  PARALLEL each round (union of per-arc-side support semi-joins →
+  one countDistinct aggregate → one join), integer changed-row
+  convergence, lineage truncated per round — fully distributed,
+  O(k·V) domain rows against the O(m) edge table, no driver state,
+  and the logical plan stays linear in the number of pattern arcs;
 * LAD's matching-based filter (GAC(allDiff) over each candidate's
   neighbourhood, lad.c ``igraph_i_lad_checkLAD``) — a driver-gated
   refinement applied when the AC-filtered domain is small enough to

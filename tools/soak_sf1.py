@@ -112,7 +112,7 @@ def main() -> None:
             m_actual * supersteps / best["pagerank_supersteps"], 1),
         "cpus": cpus,
     }
-    out = os.path.join(HERE, "BENCH", "soak_sf1_r5.json")
+    out = os.environ.get("SOAK_OUT", os.path.join(HERE, "BENCH", "soak_sf1_r5.json"))
     with open(out, "w") as fh:
         json.dump(doc, fh, indent=1)
     print(json.dumps(doc))
