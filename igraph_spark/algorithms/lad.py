@@ -263,6 +263,7 @@ def subisomorphic_lad(graph: Graph, pattern: list[tuple[int, int]],
     dom = dom.persist(StorageLevel.MEMORY_AND_DISK)
     dom_n = dom.count()
     if dom_n == 0:
+        dom.unpersist()
         return spark.createDataFrame(
             [], ", ".join(f"v{i} long" for i in range(k)))
 
