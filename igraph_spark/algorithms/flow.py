@@ -288,10 +288,14 @@ def gomory_hu_tree(graph: Graph, weights: bool | None = None,
     sequential Gusfield EXACTLY (bit-identical tree) while idle-core
     time between a distributed maxflow's BSP barriers is filled by the
     sibling probes.  The first probe of every batch can never be
-    invalidated (commits only reparent later vertices), so each round
-    makes progress and the total probe count is < 2(n-1) in the worst
-    case.  The remaining O(n) outer loop is inherent to Gusfield — the
-    reference's own shape (flow.c gomory_hu)."""
+    invalidated (commits only reparent later vertices), so each batch
+    commits at least one probe: worst-case probe count is
+    batch_size * (n-1) (every commit invalidating its whole batch —
+    only plausible early, when all vertices still share one parent),
+    typically ~n-1 since a commit invalidates a sibling only when its
+    cut separates that sibling from their shared parent.  The remaining
+    O(n) outer loop is inherent to Gusfield — the reference's own shape
+    (flow.c gomory_hu)."""
     from concurrent.futures import ThreadPoolExecutor
     spark = graph.edges.sparkSession
     ids = [int(r[0]) for r in graph.vertices.select(ID).orderBy(ID)
