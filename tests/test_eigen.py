@@ -109,7 +109,106 @@ def test_eigen_laplacian_smallest_is_zero(spark):
     assert all(-1e-9 <= v <= 2.0 + 1e-9 for v in vals)
 
 
-def test_arpack_rejects_interior_specs(spark):
+def test_arpack_rejects_full_spectrum_specs(spark):
     mat = _coo(spark, FIX)
-    with pytest.raises(ValueError, match="shift-invert"):
-        eigen_matrix_symmetric(mat, which="sm", algorithm="arpack")
+    with pytest.raises(ValueError, match="full spectrum"):
+        eigen_matrix_symmetric(mat, which="select", idx=[1],
+                               algorithm="arpack")
+
+
+def _vec(vecs, k, n):
+    import numpy as np
+    v = np.zeros(n)
+    for r in vecs.where(f"k = {k}").collect():
+        v[r.i] = r.v
+    return v
+
+
+def _dense(entries, n):
+    import numpy as np
+    A = np.zeros((n, n))
+    for i, j, x in entries:
+        A[i, j] = x
+    return A
+
+
+def test_arpack_sa_gershgorin_mirror(spark):
+    """'sa' on the distributed path: iterate on A - cI so the
+    algebraic minimum is the magnitude maximum."""
+    import numpy as np
+    mat = _coo(spark, FIX)
+    full = _dense_eigs(FIX, 4)
+    got, _ = eigen_matrix_symmetric(mat, which="sa", nev=2,
+                                    algorithm="arpack", max_iter=500)
+    assert np.allclose(got, full[:2], atol=1e-5)
+
+
+def test_arpack_sm_folded_spectrum(spark):
+    """'sm' via folding: FIX's two smallest-magnitude eigenvalues are
+    2-sqrt(2) and 2 — NOT spectrum endpoints, unreachable by any
+    shift of plain power iteration."""
+    import numpy as np
+    mat = _coo(spark, FIX)
+    full = _dense_eigs(FIX, 4)        # [-5, 0.5858, 2, 3.4142]
+    got, vecs = eigen_matrix_symmetric(mat, which="sm", nev=2,
+                                       algorithm="arpack", max_iter=800)
+    assert np.allclose(got, [full[1], full[2]], atol=1e-5)
+    A = _dense(FIX, 4)
+    for k in (0, 1):
+        v = _vec(vecs, k, 4)
+        assert np.isclose(np.linalg.norm(v), 1.0, atol=1e-6)
+        assert np.allclose(A @ v, got[k] * v, atol=1e-4)
+
+
+def test_arpack_sm_degenerate_pair_ritz_split(spark):
+    """A +/-3 pair folds to ONE eigenvalue of cI - A^2; the 2x2
+    Rayleigh-Ritz step must split the 2-D invariant subspace into
+    both true eigenpairs."""
+    import numpy as np
+    ent = [(0, 1, 3.0), (1, 0, 3.0), (2, 2, 1.0)]
+    mat = _coo(spark, ent)
+    got, vecs = eigen_matrix_symmetric(mat, which="sm", nev=3,
+                                       algorithm="arpack", max_iter=800)
+    assert np.isclose(got[0], 1.0, atol=1e-5)
+    assert np.isclose(got[1] * got[2], -9.0, atol=1e-3)  # +3 AND -3
+    A = _dense(ent, 3)
+    for k in range(3):
+        v = _vec(vecs, k, 3)
+        assert np.allclose(A @ v, got[k] * v, atol=1e-4)
+
+
+def test_arpack_be_interleaves_both_ends(spark):
+    import numpy as np
+    mat = _coo(spark, FIX)
+    full = _dense_eigs(FIX, 4)
+    got, vecs = eigen_matrix_symmetric(mat, which="be", nev=3,
+                                       algorithm="arpack", max_iter=500)
+    # eigen.c:328 order: largest, smallest, 2nd-largest
+    assert np.allclose(got, [full[-1], full[0], full[-2]], atol=1e-5)
+    assert vecs.groupBy("k").count().count() == 3
+
+
+def test_arpack_interval_stops_outward(spark):
+    """Folding at the interval midpoint finds values ordered by
+    distance from it; the first value OUTSIDE [vfrom, vto] proves the
+    enumeration complete."""
+    import numpy as np
+    mat = _coo(spark, FIX)
+    full = _dense_eigs(FIX, 4)
+    got, vecs = eigen_matrix_symmetric(
+        mat, which="interval", vfrom=0.0, vto=3.0, nev=4,
+        algorithm="arpack", max_iter=800)
+    # algebraic-descending, exactly the two values in [0, 3]
+    assert np.allclose(got, [full[2], full[1]], atol=1e-5)
+    A = _dense(FIX, 4)
+    for k in (0, 1):
+        v = _vec(vecs, k, 4)
+        assert np.allclose(A @ v, got[k] * v, atol=1e-4)
+
+
+def test_arpack_interval_budget_error(spark):
+    mat = _coo(spark, FIX)
+    with pytest.raises(RuntimeError, match="raise nev"):
+        eigen_matrix_symmetric(mat, which="interval", vfrom=-6.0,
+                               vto=4.0, nev=2, algorithm="arpack",
+                               max_iter=800)
