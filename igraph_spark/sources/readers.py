@@ -559,7 +559,14 @@ def read_dl(spark: SparkSession, path: str, directed: bool = True
     with optional ``labels:`` (comma-separated, possibly multi-line)
     and ``labels embedded``.  Returns (graph, names); ids are 0-based
     row order (matrix) / 1-based data ids minus one (lists), matching
-    the reference's output ids (igraph_read_graph_dl.out)."""
+    the reference's output ids (igraph_read_graph_dl.out).
+
+    This is FULL reference parity: the reference grammar
+    (foreign-dl-parser.y:106-123) accepts exactly these three formats
+    and no others — UCINET's wider spec (upperhalf/lowerhalf/
+    blockmatrix/...) is rejected by the reference too, so the
+    NotImplementedError below fires only on inputs the reference
+    also fails to parse."""
     txt = _doc(spark, path)
     hdr = txt.select(
         F.regexp_extract(F.lower("doc"), r"n\s*=\s*(\d+)", 1)
