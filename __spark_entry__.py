@@ -852,6 +852,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .localCheckpoint(eager=True))
         return out
 
+    def q_wl_partition(spark, sf):
+        # 1-WL color refinement (canonical.py wl_colors) on the clique
+        # graph: the color VALUES are engine-hash-dependent, but the
+        # refinement PARTITION is not, so the class-size histogram is
+        # value-exact against a plain-SQL WL recomputation
+        from igraph_spark.algorithms.canonical import wl_colors
+        g = _graph(_clique_edges(spark, sf), False)
+        with _lean_conf(spark):
+            out = (wl_colors(g, rounds=2)
+                   .groupBy("color").agg(F.count("*").alias("class_size"))
+                   .groupBy("class_size")
+                   .agg(F.count("*").alias("n_classes"))
+                   .select(F.col("class_size").cast("long")
+                           .alias("class_size"),
+                           F.col("n_classes").cast("long")
+                           .alias("n_classes"))
+                   .localCheckpoint(eager=True))
+        return out
+
     def q_sssp_weighted(spark, sf):
         # Bellman-Ford weighted distances from vertex 0 on the sparse
         # art graph with deterministic integer-valued weights
@@ -1170,6 +1189,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "closeness": q_closeness,
         "sssp_weighted": q_sssp_weighted,
+        # registered after the r05 window was sealed by the mandatory
+        # r03 re-gate cohort; ledgered in GATE_WINDOW.json
+        # pending_next_round, oracle-verified locally on landing
+        "wl_partition": q_wl_partition,
     }
 
 
@@ -1294,6 +1317,39 @@ s{k} AS MATERIALIZED (
 SELECT id, round(pr / (SELECT sum(pr) FROM {prev}), 8) AS pagerank
 FROM {prev}"""
     return sql
+
+
+def _wl_partition_oracle() -> str:
+    """Two rounds of 1-WL color refinement in plain SQL.  The engine
+    hashes with xxhash64 and this oracle with md5 — the hash VALUES
+    differ, but refinement only ever compares signatures WITHIN one
+    system, so the color PARTITION (and hence the class-size
+    histogram the query emits) is identical as long as neither hash
+    collides, which at ~600 vertices is negligible for both."""
+    return f"""
+WITH e0 AS MATERIALIZED ({_CLIQUE_E_SQL}),
+e AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e0 UNION SELECT v, u FROM e0),
+verts AS (SELECT DISTINCT src AS id FROM e),
+c0 AS (SELECT id, 'c' AS color FROM verts),
+s1 AS (SELECT e.src AS id,
+              md5(string_agg(c0.color, ',' ORDER BY c0.color)) AS sig
+       FROM e JOIN c0 ON c0.id = e.dst GROUP BY e.src),
+c1 AS MATERIALIZED (
+  SELECT v.id, md5(concat(c0.color, '|', coalesce(s1.sig, '0'))) AS color
+  FROM verts v JOIN c0 ON c0.id = v.id
+  LEFT JOIN s1 ON s1.id = v.id),
+s2 AS (SELECT e.src AS id,
+              md5(string_agg(c1.color, ',' ORDER BY c1.color)) AS sig
+       FROM e JOIN c1 ON c1.id = e.dst GROUP BY e.src),
+c2 AS (SELECT v.id,
+              md5(concat(c1.color, '|', coalesce(s2.sig, '0'))) AS color
+       FROM verts v JOIN c1 ON c1.id = v.id
+       LEFT JOIN s2 ON s2.id = v.id),
+hist AS (SELECT color, COUNT(*) AS class_size FROM c2 GROUP BY color)
+SELECT CAST(class_size AS BIGINT) AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_classes
+FROM hist GROUP BY class_size"""
 
 
 def _sssp_oracle(rounds: int = 60) -> str:
@@ -2896,6 +2952,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle(_PR_ITERS),
         "ppr": _ppr_oracle(_PR_ITERS),
         "sssp_weighted": _sssp_oracle(),
+        "wl_partition": _wl_partition_oracle(),
         "eigenvector": _eigenvector_oracle(_EIG_ITERS),
         "hits": _hits_oracle(_HITS_ITERS),
         "lpa_community_sizes": _lpa_oracle(_LPA_SWEEPS),

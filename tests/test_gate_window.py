@@ -53,10 +53,26 @@ def test_north_rule_always_gated(ledger):
 
 def test_two_round_rotation_policy(ledger, registered):
     """Every registered query must be gated in the current or previous
-    round (officially gated at least once every two rounds)."""
-    recent = set(ledger["rounds"]["r04"]) | set(ledger["rounds"]["r05"])
+    round (officially gated at least once every two rounds) — except
+    queries ledgered pending_next_round: registered after the current
+    window was sealed at capacity by a mandatory re-gate cohort, and
+    owed a slot in the NEXT round's window."""
+    recent = (set(ledger["rounds"]["r04"]) | set(ledger["rounds"]["r05"])
+              | set(ledger.get("pending_next_round", [])))
     missing = [q for q in registered if q not in recent]
     assert not missing, f"queries not gated in r04 or r05: {missing}"
+
+
+def test_pending_entries_are_new_registered_and_unwindowed(ledger,
+                                                           registered):
+    """pending_next_round may only hold queries that exist, have never
+    been gated, and are NOT in the current window — it is a deferral
+    ledger, not a loophole."""
+    for q in ledger.get("pending_next_round", []):
+        assert q in registered, f"pending query {q} is not registered"
+        for rnd, cohort in ledger["rounds"].items():
+            assert q not in cohort, (
+                f"pending query {q} already gated in {rnd}")
 
 
 def test_changed_queries_enter_window(ledger):
