@@ -257,6 +257,17 @@ def _arpack_folded(spark, m, n: int, w: str, nev: int,
     distributed solve per outer step).  Hotelling deflation peels pairs
     outward from sigma, so values emerge ordered by |lambda - sigma|.
 
+    The trade is stated honestly: folding SQUARES the spectrum, so
+    the relative gap at the folded top is roughly (gap * |spread|)/c —
+    interior pairs in a wide spectrum converge in more supersteps than
+    an equivalent end-of-spectrum run (each superstep stays two O(nnz)
+    shuffles; nothing grows with iteration count thanks to per-round
+    truncation).  When an end formulation exists (e.g. the Laplacian
+    Fiedler pair via 'sa'), prefer it; 'sm'/'interval' are for
+    genuinely interior targets, where the classical alternative —
+    shift-invert — would need a nested distributed linear solve per
+    outer step.
+
     Folding squares the spectrum, so a +/- pair equidistant from sigma
     shares one folded eigenvalue and power iteration lands anywhere in
     the 2-D invariant subspace.  Every converged vector therefore gets
