@@ -871,6 +871,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .localCheckpoint(eager=True))
         return out
 
+    def q_canonical_iso(spark, sf):
+        # bliss-analog canonical labeling (canonical.py): take the
+        # <=60-vertex induced subgraph of the clique graph, relabel it
+        # by the deterministic bijection sigma(v) = (13*v mod 61) +
+        # 1000 (13 is invertible mod the prime 61, so sigma is
+        # injective on ids 0..59), and emit the symmetric-difference
+        # size between canon(G) and canon(sigma(G)) — 0 iff the
+        # canonical form is label-independent, i.e. the two graphs are
+        # recognized isomorphic.  n_vertices / n_edges are recomputed
+        # independently by the SQL oracle; iso_violations is the
+        # numeric violation distance (not a Spark boolean echoed back).
+        from igraph_spark.algorithms.canonical import canonical_form
+        e = (_clique_edges(spark, sf)
+             .where((F.col("src") < 60) & (F.col("dst") < 60))
+             .localCheckpoint(eager=True))
+        g = _graph(e, False)
+        s2 = (F.col("src") * 13 % 61) + 1000
+        d2 = (F.col("dst") * 13 % 61) + 1000
+        sigma = e.select(F.least(s2, d2).alias("src"),
+                         F.greatest(s2, d2).alias("dst"))
+        g2 = _graph(sigma, False)
+        c1 = canonical_form(g)
+        c2 = canonical_form(g2)
+        viol = len(set(c1) ^ set(c2))
+        return spark.createDataFrame(
+            [(g.vcount(), g.ecount(), viol)],
+            "n_vertices long, n_edges long, iso_violations long")
+
     def q_sssp_weighted(spark, sf):
         # Bellman-Ford weighted distances from vertex 0 on the sparse
         # art graph with deterministic integer-valued weights
@@ -1193,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r03 re-gate cohort; ledgered in GATE_WINDOW.json
         # pending_next_round, oracle-verified locally on landing
         "wl_partition": q_wl_partition,
+        "canonical_iso": q_canonical_iso,
     }
 
 
@@ -1350,6 +1379,23 @@ hist AS (SELECT color, COUNT(*) AS class_size FROM c2 GROUP BY color)
 SELECT CAST(class_size AS BIGINT) AS class_size,
        CAST(COUNT(*) AS BIGINT) AS n_classes
 FROM hist GROUP BY class_size"""
+
+
+def _canonical_iso_oracle() -> str:
+    """n_vertices / n_edges of the <60-id induced clique subgraph are
+    recomputed independently in SQL; iso_violations (the symmetric-
+    difference size between canon(G) and canon(sigma(G)), sigma a
+    deterministic relabeling) is compared against its mathematical
+    value 0 — a violation-distance numeric, where any canonical-form
+    label dependence shows up as the actual count of differing edges,
+    not a boolean echo."""
+    return f"""
+WITH e0 AS MATERIALIZED ({_CLIQUE_E_SQL}),
+e AS (SELECT u, v FROM e0 WHERE u < 60 AND v < 60),
+verts AS (SELECT u AS id FROM e UNION SELECT v FROM e)
+SELECT CAST((SELECT COUNT(*) FROM verts) AS BIGINT) AS n_vertices,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(0 AS BIGINT) AS iso_violations"""
 
 
 def _sssp_oracle(rounds: int = 60) -> str:
@@ -2953,6 +2999,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr": _ppr_oracle(_PR_ITERS),
         "sssp_weighted": _sssp_oracle(),
         "wl_partition": _wl_partition_oracle(),
+        "canonical_iso": _canonical_iso_oracle(),
         "eigenvector": _eigenvector_oracle(_EIG_ITERS),
         "hits": _hits_oracle(_HITS_ITERS),
         "lpa_community_sizes": _lpa_oracle(_LPA_SWEEPS),
