@@ -32,10 +32,13 @@ from igraph_spark.algorithms.pagerank import pagerank
 
 cores = int(sys.argv[1]); m = int(sys.argv[2]); steps = int(sys.argv[3])
 kernel = sys.argv[4] if len(sys.argv) > 4 else "join"
+import os as _os
+N_VERT = int(_os.environ.get("SCALING_N_VERTICES", 1 << 21))
+MEM = _os.environ.get("SCALING_DRIVER_MEM", "48g")
 PARTS = 64  # fixed across runs: >= 2x the larger core count
 spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=PARTS,
     extra_conf={{
-        "spark.driver.memory": "48g",
+        "spark.driver.memory": MEM,
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.join.preferSortMergeJoin": "false",
@@ -43,7 +46,7 @@ spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=PARTS,
         "spark.shuffle.spill.compress": "true",
         "spark.local.dir": "/dev/shm" if __import__("os").path.isdir("/dev/shm") else "/tmp",
     }})
-g = zipf_skew(spark, n=1 << 21, m=m, seed=42, directed=True).hash_partition(PARTS)
+g = zipf_skew(spark, n=N_VERT, m=m, seed=42, directed=True).hash_partition(PARTS)
 m_actual = g.ecount()
 pagerank(g, tol=0.0, max_iter=2, check_every=2, num_partitions=PARTS,
          kernel=kernel).count()  # JIT warmup
@@ -63,7 +66,8 @@ def run(cores: int, m: int, steps: int, kernel: str = "join") -> dict:
     script = WORKER.format(root=HERE)
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), str(m), str(steps), kernel],
-        capture_output=True, text=True, timeout=1800, check=True)
+        capture_output=True, text=True,
+        timeout=int(os.environ.get("SCALING_LEG_TIMEOUT", "1800")), check=True)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
