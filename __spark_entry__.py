@@ -919,6 +919,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = component_sizes(g, "weak").localCheckpoint(eager=True)
         return out
 
+    def q_wcc_incremental(spark, sf):
+        # incremental WCC maintenance (streaming/incremental.py): seed
+        # the label state from the edges with (src+dst)%3 != 0, fold
+        # the held-out third in as a late micro-batch via the
+        # label-graph merge, dense-relabel — must equal the
+        # from-scratch wcc_sizes histogram bit-for-bit, so it shares
+        # that query's recursive-CTE oracle on the FULL edge set
+        from igraph_spark.streaming.incremental import (
+            components_from_state, components_state, merge_components)
+        e = (_order_edges(spark, sf).select("src", "dst")
+             .localCheckpoint(eager=True))
+        split = F.pmod(F.col("src") + F.col("dst"), F.lit(3)) == 0
+        with _lean_conf(spark):
+            st = components_state(_graph(e.where(~split), True))
+            st = merge_components(st, e.where(split))
+            out = (components_from_state(st)
+                   .groupBy("component").agg(F.count("*").alias("size"))
+                   .localCheckpoint(eager=True))
+        return out
+
     def q_scc_sizes(spark, sf):
         # strong components of the directed mod graph, as a size
         # histogram (label-convention-agnostic, unlike wcc_sizes where
@@ -1222,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pending_next_round, oracle-verified locally on landing
         "wl_partition": q_wl_partition,
         "canonical_iso": q_canonical_iso,
+        "wcc_incremental": q_wcc_incremental,
     }
 
 
@@ -3000,6 +3021,9 @@ def oracle_sql() -> dict[str, str]:
         "sssp_weighted": _sssp_oracle(),
         "wl_partition": _wl_partition_oracle(),
         "canonical_iso": _canonical_iso_oracle(),
+        # incremental maintenance must land exactly where the batch
+        # recompute lands: same oracle as wcc_sizes on the full graph
+        "wcc_incremental": _wcc_sizes_oracle(),
         "eigenvector": _eigenvector_oracle(_EIG_ITERS),
         "hits": _hits_oracle(_HITS_ITERS),
         "lpa_community_sizes": _lpa_oracle(_LPA_SWEEPS),
