@@ -361,6 +361,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(_supplier_edges(spark, sf), False)
         return (triangles_df(g).agg(F.count("*").alias("n_triangles")))
 
+    def q_triangles_incremental(spark, sf):
+        # incremental triangle maintenance (streaming/incremental.py):
+        # seed the canonical edge state from 2/3 of the supplier graph,
+        # fold the held-out third in as a late micro-batch via the
+        # c1+c2+c3 delta decomposition — the running count must equal
+        # the from-scratch triangle_count, so it shares that query's
+        # wedge-join oracle on the FULL edge set
+        from igraph_spark.algorithms.triangles import triangle_count
+        from igraph_spark.streaming.incremental import (
+            canonical_edges, merge_triangle_count)
+        e = (_supplier_edges(spark, sf).select("src", "dst")
+             .localCheckpoint(eager=True))
+        split = F.pmod(F.col("src") + F.col("dst"), F.lit(3)) == 0
+        with _lean_conf(spark):
+            seed = canonical_edges(e.where(~split)) \
+                .localCheckpoint(eager=True)
+            base = triangle_count(_graph(e.where(~split), False))
+            _, total = merge_triangle_count(seed, base, e.where(split))
+        return spark.createDataFrame([(total,)], "n_triangles long")
+
     def q_triangles_per_vertex(spark, sf):
         g = _graph(_supplier_edges(spark, sf), False)
         return (adjacent_triangles(g).where(F.col("triangles") > 0)
@@ -1243,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_partition": q_wl_partition,
         "canonical_iso": q_canonical_iso,
         "wcc_incremental": q_wcc_incremental,
+        "triangles_incremental": q_triangles_incremental,
     }
 
 
@@ -3022,8 +3043,16 @@ def oracle_sql() -> dict[str, str]:
         "wl_partition": _wl_partition_oracle(),
         "canonical_iso": _canonical_iso_oracle(),
         # incremental maintenance must land exactly where the batch
-        # recompute lands: same oracle as wcc_sizes on the full graph
+        # recompute lands: same oracle as wcc_sizes / triangle_count
+        # on the full graph
         "wcc_incremental": _wcc_sizes_oracle(),
+        "triangles_incremental": f"""
+          WITH se AS ({_SUPPLIER_E_SQL}),
+               e AS (SELECT src AS u, dst AS v FROM se)
+          SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM e e1 JOIN e e2 ON e2.u = e1.v
+                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
         "eigenvector": _eigenvector_oracle(_EIG_ITERS),
         "hits": _hits_oracle(_HITS_ITERS),
         "lpa_community_sizes": _lpa_oracle(_LPA_SWEEPS),
