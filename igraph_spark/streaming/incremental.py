@@ -8,15 +8,17 @@ This module keeps the converged ``(id, comp)`` label table as the
 persistent state and folds each batch in with work proportional to the
 BATCH, not the graph:
 
-1. endpoints unseen so far enter as singleton labels (one left-anti
-   join against the state);
+1. endpoints unseen so far enter as singleton labels (the batch ids
+   broadcast into one map-side probe of the state; the anti-join for
+   brand-new ids then runs batch-vs-batch);
 2. each batch edge is mapped to its endpoints' CURRENT labels,
    producing a **label graph** of at most ``2·|batch|`` nodes — all
    merging (including transitive chains within the batch) is a weak-
    components run on that tiny graph, reusing the engine's own
    distributed hash-min kernel;
 3. the winning label per merged group comes back to the big state as
-   ONE broadcast hash join (map-side, no shuffle of the O(V) table).
+   a broadcast hash join — two map-side passes total per batch, zero
+   Exchange over the O(V) table (plan-asserted).
 
 Invariant maintained: ``comp`` equals the minimum member id of the
 component — each old label was its component's min id, and the label-
@@ -63,9 +65,12 @@ def merge_components(state: DataFrame, new_edges: DataFrame,
 
     Cost model (the point of the operator): the iterative part runs on
     the label graph — O(|batch|) rows regardless of |V| or |E| — and
-    the only touch of the big state is one broadcast join, so a
-    1000-executor deployment pays a map-side pass over the state
-    partitions per batch instead of a full WCC over 10^12 edges.
+    the big state is touched by exactly two map-side passes (a
+    broadcast-inner label lookup and the broadcast-mapping update);
+    no Exchange ever lands on the O(V) table (plan-asserted in
+    test_incremental_plans.py), so a 1000-executor deployment pays two
+    scans of its state partitions per batch instead of a full WCC over
+    10^12 edges.
     """
     e = (new_edges.select(F.col(SRC).cast("long").alias(SRC),
                           F.col(DST).cast("long").alias(DST))
@@ -78,18 +83,28 @@ def merge_components(state: DataFrame, new_edges: DataFrame,
     ids = (e.select(F.col(SRC).alias(ID))
            .unionByName(e.select(F.col(DST).alias(ID)))
            .distinct())
-    newv = (ids.join(base.select(ID), ID, "left_anti")
+    # membership probes are flipped so the O(V) state only ever
+    # STREAMS map-side: a plain ids-anti-state join would sort-merge
+    # (Spark cannot build a broadcast hash table from the big right
+    # side of a LeftAnti), shuffling all of state per batch.  Instead
+    # the batch ids broadcast into one inner join over the state scan
+    # (test_incremental_plans asserts no Exchange lands above it), and
+    # the anti-join for brand-new ids runs batch-vs-batch.
+    hit = (base.join(F.broadcast(ids), ID)
+           .localCheckpoint(eager=True))
+    newv = (ids.join(F.broadcast(hit.select(ID)), ID, "left_anti")
             .select(ID, F.col(ID).alias("comp")))
-    full = base.unionByName(newv)
+    lab = hit.unionByName(newv)  # labels of every batch endpoint
 
     # label graph: current labels of the two endpoints of each batch
     # edge; |nodes| <= 2|batch| so the WCC below is batch-sized work
-    sa = full.select(F.col(ID).alias(SRC), F.col("comp").alias("ca"))
-    sb = full.select(F.col(ID).alias(DST), F.col("comp").alias("cb"))
-    le = (e.join(sa, SRC).join(sb, DST)
+    sa = lab.select(F.col(ID).alias(SRC), F.col("comp").alias("ca"))
+    sb = lab.select(F.col(ID).alias(DST), F.col("comp").alias("cb"))
+    le = (e.join(F.broadcast(sa), SRC).join(F.broadcast(sb), DST)
           .where(F.col("ca") != F.col("cb"))
           .select(F.col("ca").alias(SRC), F.col("cb").alias(DST))
           .distinct())
+    full = base.unionByName(newv)
     if le.isEmpty():
         return full
 
@@ -104,7 +119,8 @@ def merge_components(state: DataFrame, new_edges: DataFrame,
 
 
 def merge_triangle_count(edges: DataFrame, count: int,
-                         new_edges: DataFrame) -> tuple[DataFrame, int]:
+                         new_edges: DataFrame,
+                         broadcast: bool = True) -> tuple[DataFrame, int]:
     """Fold one micro-batch into a running global triangle count.
 
     ``edges``: the accumulated CANONICAL simple edge set (u < v, no
@@ -123,37 +139,58 @@ def merge_triangle_count(edges: DataFrame, count: int,
     * c3 — all three in the batch: the engine's own degree-ordered
       wedge join on the batch graph.
 
-    Scale shape: the batch side of every join is broadcast-small; the
-    accumulated set is scanned map-side (bucket it on u via the edge
-    store to keep that scan exchange-free), so a batch costs O(|E|)
-    scan + O(|batch|·deg) join work — never a full recount's shuffle.
+    Scale shape: the batch-derived side of every join is broadcast
+    (the accumulated set is only scanned map-side, never shuffled —
+    bucket it on u via the edge store to keep even the scan
+    exchange-free), so a batch costs O(|E|) scan + O(|batch|·deg) join
+    work instead of a full recount's shuffle.  Pass ``broadcast=False``
+    for hub-heavy batches whose candidate set outgrows a broadcast
+    table: the probes fall back to whatever join AQE picks.
     """
-    from igraph_spark.algorithms.triangles import triangle_count as _tc
-
-    b = (canonical_edges(new_edges)
-         .join(edges, ["u", "v"], "left_anti")
-         .localCheckpoint(eager=True))
+    b = _batch_minus_state(canonical_edges(new_edges), edges)
     if b.isEmpty():
         return edges, count
-    return edges.unionByName(b), count + _new_triangles(edges, b)
+    return edges.unionByName(b), count + _new_triangles(edges, b, broadcast)
 
 
-def _new_triangles(edges: DataFrame, b: DataFrame) -> int:
+def _batch_minus_state(cb: DataFrame, edges: DataFrame) -> DataFrame:
+    """Batch edges not yet accumulated, WITHOUT shuffling the big set:
+    a direct cb-anti-edges join would sort-merge-exchange all of
+    ``edges`` (no broadcast build from a big LeftAnti right side), so
+    probe the other way — broadcast the batch into a semi-join that
+    streams the accumulated set map-side, then anti-join batch-vs-
+    batch against the (small) duplicates found."""
+    return _batch_minus_state_plan(cb, edges).localCheckpoint(eager=True)
+
+
+def _batch_minus_state_plan(cb: DataFrame, edges: DataFrame) -> DataFrame:
+    dup = edges.join(F.broadcast(cb), ["u", "v"], "left_semi")
+    return cb.join(F.broadcast(dup), ["u", "v"], "left_anti")
+
+
+def _new_triangles(edges: DataFrame, b: DataFrame,
+                   broadcast: bool = True) -> int:
     """Triangles gained by adding the canonical, state-disjoint batch
     ``b`` to the canonical set ``edges`` (the c1+c2+c3 decomposition
     documented on merge_triangle_count)."""
     from igraph_spark.algorithms.triangles import triangle_count as _tc
 
+    # every membership probe below broadcasts the batch-derived side
+    # and streams the accumulated set: b/cand/wedge rows are unique and
+    # each matches at most one canonical edge, so an inner-join count
+    # with the big side probing equals the semi-join count — without
+    # the Exchange a big-right-side LeftSemi would force.
+    hint = F.broadcast if broadcast else (lambda df: df)
     adj = (edges.select(F.col("u").alias("x"), F.col("v").alias("w"))
            .unionByName(
                edges.select(F.col("v").alias("x"), F.col("u").alias("w"))))
-    cand = (b.join(adj, b["u"] == adj["x"])
-            .select("u", "v", "w").where(F.col("w") != F.col("v")))
+    cand = (F.broadcast(b).join(adj, b["u"] == adj["x"])
+            .select("u", "v", "w").where(F.col("w") != F.col("v"))
+            .localCheckpoint(eager=True))
     closing = edges.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
-    c1 = (cand.join(closing,
-                    (F.least("v", "w") == F.col("cu"))
-                    & (F.greatest("v", "w") == F.col("cv")),
-                    "left_semi")
+    c1 = (closing.join(hint(cand),
+                       (F.least("v", "w") == F.col("cu"))
+                       & (F.greatest("v", "w") == F.col("cv")))
           .count())
 
     bsym = (b.select(F.col("u").alias("c"), F.col("v").alias("p"))
@@ -161,8 +198,9 @@ def _new_triangles(edges: DataFrame, b: DataFrame) -> int:
                                   F.col("u").alias("p"))))
     wedge = (bsym.join(bsym.withColumnRenamed("p", "q"), "c")
              .where(F.col("p") < F.col("q")))
-    c2 = (wedge.join(closing, (F.col("p") == F.col("cu"))
-                     & (F.col("q") == F.col("cv")), "left_semi")
+    c2 = (closing.join(hint(wedge),
+                       (F.col("p") == F.col("cu"))
+                       & (F.col("q") == F.col("cv")))
           .count())
 
     c3 = _tc(Graph(b.select(F.col("u").alias(SRC), F.col("v").alias(DST)),
