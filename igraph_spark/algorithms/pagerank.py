@@ -70,7 +70,8 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
                           max_iter: int = 300, check_every: int = 10,
                           num_partitions: int | None = None,
                           run_dir: str | None = None,
-                          kernel: str = "join") -> DataFrame:
+                          kernel: str = "join",
+                          init: DataFrame | None = None) -> DataFrame:
     """Personalized PageRank -> DataFrame(id, pagerank).
 
     ``weights``: None = use the graph's weight column when present,
@@ -79,6 +80,15 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
     ``kernel``: "join" (default — codegen'd JVM join + hash agg) or
     "csr" (per-partition CSR block matvec in numpy over Arrow,
     igraph_spark.plans.csr; same flows, different physical strategy).
+
+    ``init``: optional warm-start scores (DataFrame with id +
+    pagerank/pr), e.g. the previous result on an evolving graph —
+    the fixpoint is init-independent (power iteration on a primitive
+    operator with per-step rescaling), so this only changes how many
+    supersteps convergence takes; vertices absent from ``init`` (new
+    arrivals) start at 1/n.  No reference analog (PRPACK solves cold,
+    prpack/prpack_solver.cpp); this is the engine's evolving-graph
+    path, paired with streaming/incremental.py.
     """
     if kernel not in ("join", "csr"):
         raise ValueError(f"unknown kernel {kernel!r}")
@@ -164,13 +174,21 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
     # columns on the O(V) vector) so each superstep is one join with
     # the aggregated flows instead of two (vinfo join eliminated from
     # the hot loop — measured ~25% off the 10-superstep bench leg)
-    state0 = vinfo.select(ID, uniform.alias("pr"), "dangling", "reset")
+    if init is not None:
+        icol = "pagerank" if "pagerank" in init.columns else "pr"
+        prev = init.select(ID, F.col(icol).cast("double").alias("pr0"))
+        state0 = (vinfo.join(prev, ID, "left")
+                  .select(ID, F.coalesce("pr0", uniform).alias("pr"),
+                          "dangling", "reset"))
+    else:
+        state0 = vinfo.select(ID, uniform.alias("pr"), "dangling", "reset")
     # "state": 2 versions the (id, pr, dangling, reset) schema so a
     # durable manifest written by the old (id, pr) code never matches
     # on resume (runner.start also column-validates as a backstop)
     state, start, _ = runner.start(
         state0, params={"algo": "pagerank", "damping": d, "tol": tol,
-                        "weighted": use_w, "n": n, "state": 2})
+                        "weighted": use_w, "n": n, "state": 2,
+                        "warm": init is not None})
 
     # jump-pool mass + total of the starting state (scalars to the
     # driver once per superstep — the only data that ever crosses back,
@@ -227,11 +245,13 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
 def pagerank(graph: Graph, damping: float = 0.85, weights: bool | None = None,
              tol: float = 1e-10, max_iter: int = 300, check_every: int = 10,
              num_partitions: int | None = None,
-             run_dir: str | None = None, kernel: str = "join") -> DataFrame:
+             run_dir: str | None = None, kernel: str = "join",
+             init: DataFrame | None = None) -> DataFrame:
     """Uniform-reset PageRank (igraph_pagerank, centrality.c:1116-1124)
-    -> DataFrame(id, pagerank)."""
+    -> DataFrame(id, pagerank).  ``init`` warm-starts from previous
+    scores (see personalized_pagerank)."""
     return personalized_pagerank(graph, damping=damping, reset=None,
                                  weights=weights, tol=tol, max_iter=max_iter,
                                  check_every=check_every,
                                  num_partitions=num_partitions,
-                                 run_dir=run_dir, kernel=kernel)
+                                 run_dir=run_dir, kernel=kernel, init=init)
