@@ -104,3 +104,20 @@ def test_streaming_ingest_maintains_state(spark, tmp_path):
     labels = components_oracle(n, edges)
     dense = _dense(final)
     assert [dense[i] for i in range(n)] == labels
+
+
+def test_driver_and_distributed_label_merges_agree(spark):
+    # the driver union-find gate and the distributed hash-min kernel
+    # must produce the identical state (comp = component min id)
+    g = famous(spark, "Zachary")
+    edges = [(r["src"], r["dst"]) for r in g.edges.collect()]
+    n = g.vcount()
+    k = len(edges) // 2
+    seed = components_state(
+        Graph.from_edge_list(spark, edges[:k], n=n, directed=False))
+    seed = seed.localCheckpoint(eager=True)
+    batch = spark.createDataFrame(edges[k:], "src long, dst long")
+    via_driver = merge_components(seed, batch)              # default gate
+    via_kernel = merge_components(seed, batch, driver_threshold=0)
+    assert (via_driver.exceptAll(via_kernel).count() == 0
+            and via_kernel.exceptAll(via_driver).count() == 0)

@@ -98,3 +98,14 @@ def test_streaming_triangle_ingest(spark, tmp_path):
     acc = spark.read.parquet(
         *[os.path.join(state_path, f"delta={i}") for i in ptr["epochs"]])
     assert acc.count() == 78  # karate's simple undirected edge count
+
+
+def test_driver_and_distributed_c3_agree(spark):
+    # local adjacency-intersection c3 vs the distributed wedge join
+    g = famous(spark, "Zachary")
+    half = [(r["src"], r["dst"]) for r in g.edges.collect()][:39]
+    e0 = canonical_edges(_df(spark, half[:20]))
+    batch = _df(spark, half[20:])
+    _, c_driver = merge_triangle_count(e0, 0, batch)        # default gate
+    _, c_kernel = merge_triangle_count(e0, 0, batch, driver_threshold=0)
+    assert c_driver == c_kernel
