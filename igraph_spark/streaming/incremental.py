@@ -253,13 +253,19 @@ def _new_triangles(edges: DataFrame, b: DataFrame,
                           F.greatest("v", "w").alias("b"))
               .unionAll(wedge.select(F.col("p").alias("a"),
                                      F.col("q").alias("b"))))
-    closing = edges.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
-    c12 = (closing.join(hint(probes),
-                        (F.col("a") == F.col("cu"))
-                        & (F.col("b") == F.col("cv")))
-           .count())
+    c12 = _closing_probe_plan(edges, probes, hint).count()
 
     return c12 + _batch_triangles(b, driver_threshold)
+
+
+def _closing_probe_plan(edges: DataFrame, probes: DataFrame,
+                        hint=F.broadcast) -> DataFrame:
+    """The fused c1+c2 probe: one scan of the accumulated canonical
+    set against the broadcast (a, b) candidate pairs."""
+    closing = edges.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    return closing.join(hint(probes),
+                        (F.col("a") == F.col("cu"))
+                        & (F.col("b") == F.col("cv")))
 
 
 def _batch_triangles(b: DataFrame, driver_threshold: int) -> int:

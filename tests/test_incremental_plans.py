@@ -7,8 +7,8 @@ from pyspark.sql import functions as F
 
 from igraph_spark.generators import gnm
 from igraph_spark.streaming.incremental import (
-    _batch_minus_state_plan, canonical_edges, components_state,
-    merge_components)
+    _batch_minus_state_plan, _closing_probe_plan, canonical_edges,
+    components_state, merge_components)
 
 
 def _plan(df) -> str:
@@ -38,19 +38,11 @@ def test_batch_minus_state_streams_the_big_side(spark):
 
 
 def test_closing_probe_broadcasts_the_candidates(spark):
-    # the c1/c2 shape: accumulated canonical set probes a broadcast
-    # candidate table under an inner join — the documented assumption
-    # that replaced the big-right-side LeftSemi
+    # the REAL fused c1+c2 probe: accumulated canonical set scans once
+    # against broadcast normalized pairs — no big-right-side LeftSemi
     g = gnm(spark, n=500, m=1500, seed=11, directed=False)
-    closing = (canonical_edges(g.edges)
-               .select(F.col("u").alias("cu"), F.col("v").alias("cv"))
-               .localCheckpoint(eager=True))
-    cand = spark.createDataFrame(
-        [(0, 1, 2), (3, 4, 5)], "u long, v long, w long")
-    joined = closing.join(
-        F.broadcast(cand),
-        (F.least("v", "w") == F.col("cu"))
-        & (F.greatest("v", "w") == F.col("cv")))
-    plan = _plan(joined)
+    edges = canonical_edges(g.edges).localCheckpoint(eager=True)
+    probes = spark.createDataFrame([(0, 1), (3, 4)], "a long, b long")
+    plan = _plan(_closing_probe_plan(edges, probes))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
