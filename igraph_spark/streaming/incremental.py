@@ -368,9 +368,7 @@ def incremental_triangles_ingest(edge_stream: DataFrame, state_path: str,
                  for i in ptr["epochs"]]
         edges = (spark.read.parquet(*paths) if paths
                  else spark.createDataFrame([], "u long, v long"))
-        b = (canonical_edges(batch_df)
-             .join(edges, ["u", "v"], "left_anti")
-             .localCheckpoint(eager=True))
+        b = _batch_minus_state(canonical_edges(batch_df), edges)
         epochs, count = list(ptr["epochs"]), int(ptr["count"])
         if not b.isEmpty():
             count += _new_triangles(edges, b)
