@@ -10,28 +10,37 @@ state and the priority queue is replaced by monotone DataFrame
 fixpoints:
 
   1. distances  — multi-source Bellman-Ford: each round relaxes every
-     edge for every source at once (one join + min-aggregate); reaches
-     the fixpoint after H rounds, H = max hop count over weighted
-     geodesics.  Per-round state is one (s, id, dist) table,
-     localCheckpointed so lineage stays flat.
+     edge for every source at once (one join + min-aggregate).  After
+     k rounds dist = min weight over paths of <= k hops, so a pair
+     settles at its MIN-hop geodesic length; the fixpoint is reached
+     after h_min = max over pairs of that min-hop count.  Per-round
+     state is one (s, id, dist) table, localCheckpointed so lineage
+     stays flat.
   2. tight DAG  — edges on shortest paths: dist(u) + w == dist(v),
      built with two distance joins.  Every geodesic is a path in this
-     DAG, so its depth is exactly H.
+     DAG; its depth H = max hop count over ALL geodesics, which can
+     EXCEED h_min when equal-weight geodesics with different hop
+     counts exist (e.g. s-a-b-t all weight 1 plus a direct s-t edge
+     of weight 3: h_min(t) = 1 but the DAG runs 3 deep).
   3. sigma      — path counts as a forward recurrence on the DAG:
      sigma_k(s,v) = [v=s] + sum_{(u,v) tight} sigma_{k-1}(s,u);
-     exact after depth(DAG) = H rounds.
+     monotone nondecreasing, exact at its own fixpoint, which it
+     reaches after exactly H rounds — so sigma measures H.
   4. delta      — Brandes dependencies as a backward recurrence:
      delta_k(s,v) = sum_{(v,w) tight} sigma_v/sigma_w * (1+delta_{k-1}(s,w));
-     exact after H rounds.
+     exact after H rounds (H taken from the sigma phase, never from
+     the distance phase, whose h_min is only a lower bound on H).
 
 Convergence detection is integer-only (never float-sum equality — a
 double sum is not order-deterministic across Spark partitionings, so
 two mathematically-converged rounds could compare unequal forever):
 the distance phase counts CHANGED ROWS per round (new pair reached, or
 a strictly smaller dist — both exact comparisons of copied doubles)
-and stops at the first zero-change round, which also measures H; the
-sigma and delta phases then run for exactly H rounds with no per-round
-convergence action at all.
+and stops at the first zero-change round; the sigma phase counts rows
+whose count changed (geodesic counts are integers carried in doubles —
+sums of integers are exact and order-independent below 2^53) and stops
+at the first zero-change round, which measures the DAG depth H; the
+delta phase then runs for exactly H rounds with no per-round action.
 
 Scale: exact mode is O(sources * V) state rows per round, the same
 O(V*E) total work as the reference's exact loop; the sampled
@@ -95,9 +104,12 @@ def weighted_distances(e: DataFrame, src_df: DataFrame,
     the comparison is between bit-identical doubles — exact and
     deterministic under any partitioning (unlike a sum-of-dists
     signature, whose accumulation order varies).  ``depth`` = number of
-    rounds that changed anything = max hop count H over weighted
-    geodesics = the tight DAG's depth, which bounds the sigma/delta
-    recurrences downstream."""
+    rounds that changed anything = max over reachable pairs of the MIN
+    hop count among that pair's geodesics.  NOTE this is only a LOWER
+    bound on the tight DAG's depth (a pair with both a short-hop and a
+    long-hop equal-weight geodesic settles early) — the sigma phase
+    measures the true DAG depth itself; never bound sigma/delta by
+    this value."""
     dist = (src_df.select("s", F.col("s").alias(ID),
                           F.lit(0.0).alias("dist"))
             .localCheckpoint(eager=True))
@@ -137,29 +149,49 @@ def _tight_edges(e: DataFrame, dist: DataFrame) -> DataFrame:
 
 
 def _sigma_fixpoint(t: DataFrame, dist: DataFrame,
-                    rounds: int) -> DataFrame:
-    """Geodesic counts on the tight DAG -> (s, id, sigma), domain =
-    reachable pairs.  sigma_k counts geodesics of <= k hops, so after
-    ``rounds`` = DAG depth H iterations every count is exact; running
-    the recurrence exactly H times needs no per-round convergence
-    action (and no float-equality test, which partitioning-dependent
-    sum order would make unreliable)."""
+                    max_rounds: int = 1000) -> tuple[DataFrame, int]:
+    """Geodesic counts on the tight DAG -> ((s, id, sigma) over the
+    reachable pairs, DAG depth H).  sigma_k counts geodesics of <= k
+    hops, so the recurrence is monotone nondecreasing and changes in
+    round k iff some geodesic has exactly k hops; the first zero-change
+    round therefore certifies exactness AND measures H = the DAG depth
+    (which the distance phase's round count can UNDERSTATE when
+    equal-weight geodesics of different hop counts tie — the bug a
+    fixed-round version of this recurrence had).
+
+    The change test is integer-exact: geodesic counts are integers
+    carried in doubles, and sums of integers are order-independent and
+    exact below 2^53, so ``sigma != old`` is deterministic under any
+    partitioning — no float-sum signatures.  (Beyond 2^53 geodesics the
+    counts saturate in double precision — the reference's own sigma is
+    a C double with the identical limit, centrality.c:1767 — and a
+    saturated count stops changing, so termination still holds.)"""
     base = dist.select("s", ID,
                        F.when(F.col(ID) == F.col("s"), F.lit(1.0))
                        .otherwise(F.lit(0.0)).alias("seed"))
     sigma = base.select("s", ID, F.col("seed").alias("sigma")) \
         .localCheckpoint(eager=True)
-    for _ in range(rounds):
+    depth = 0
+    for _ in range(max_rounds):
         inc = (t.join(sigma.select("s", F.col(ID).alias("u"),
                                    "sigma"), ["s", "u"])
                .groupBy("s", F.col("v").alias(ID))
                .agg(F.sum("sigma").alias("inc")))
-        sigma = (base.join(inc, ["s", ID], "left")
-                 .select("s", ID,
-                         (F.col("seed") + F.coalesce("inc", F.lit(0.0)))
-                         .alias("sigma"))
-                 .localCheckpoint(eager=True))
-    return sigma
+        merged = (base.join(inc, ["s", ID], "left")
+                  .join(sigma.select("s", ID,
+                                     F.col("sigma").alias("old")),
+                        ["s", ID])
+                  .select("s", ID,
+                          (F.col("seed") + F.coalesce("inc", F.lit(0.0)))
+                          .alias("sigma"),
+                          "old")
+                  .localCheckpoint(eager=True))
+        changed = merged.where(F.col("sigma") != F.col("old")).count()
+        sigma = merged.select("s", ID, "sigma")
+        if changed == 0:
+            break
+        depth += 1
+    return sigma, depth
 
 
 def _delta_fixpoint(t: DataFrame, sigma: DataFrame,
@@ -168,8 +200,10 @@ def _delta_fixpoint(t: DataFrame, sigma: DataFrame,
     (s, id, delta).  t2 carries sigma at both endpoints so each round
     is one join with the previous delta + one aggregate.  delta_k is
     exact for every vertex whose deepest downstream DAG path is <= k,
-    so ``rounds`` = DAG depth H iterations make all of them exact — no
-    per-round action, no float-equality convergence test."""
+    so ``rounds`` iterations make all of them exact when ``rounds`` is
+    the DAG depth H **as measured by the sigma phase** (the distance
+    phase's round count is only a lower bound on H) — no per-round
+    action, no float-equality convergence test."""
     t2 = (t.join(sigma.select("s", F.col(ID).alias("u"),
                               F.col("sigma").alias("su")), ["s", "u"])
           .join(sigma.select("s", F.col(ID).alias("v"),
@@ -219,11 +253,14 @@ def betweenness_weighted(graph: Graph, sources=None,
             sources = sample_sources(graph, sample_size, seed)
             scale_up = n / float(sample_size)
     e = _weighted_edges(graph, use_directed, weight_col)
-    dist, depth = weighted_distances(e, _source_df(graph, sources),
-                                     max_rounds)
+    dist, _ = weighted_distances(e, _source_df(graph, sources),
+                                 max_rounds)
     t = _tight_edges(e, dist).persist(StorageLevel.MEMORY_AND_DISK)
-    sigma = _sigma_fixpoint(t, dist, depth)
-    delta = _delta_fixpoint(t, sigma, depth)
+    # sigma measures the tight DAG's true depth H; the distance
+    # phase's round count is only h_min <= H and must not bound
+    # sigma/delta (equal-weight geodesics with more hops run deeper)
+    sigma, dag_depth = _sigma_fixpoint(t, dist, max_rounds)
+    delta = _delta_fixpoint(t, sigma, dag_depth)
     t.unpersist()
     e.unpersist()
     scale = (0.5 if not use_directed else 1.0) * scale_up

@@ -190,10 +190,12 @@ def test_fixpoints_terminate_in_depth_plus_one_rounds(spark, monkeypatch):
     """Round-count contract under adversarial partitioning (verdict
     round-4 'what's wrong' #2): convergence must be integer-only, so
     the distance phase stops after exactly depth+1 rounds (depth
-    changing rounds + one zero-change round) and sigma/delta run
-    exactly depth rounds each, regardless of how the edge table is
-    partitioned.  Rounds are counted via the per-round localCheckpoint
-    each phase performs (one extra for each phase's init state)."""
+    changing rounds + one zero-change round), sigma stops after
+    exactly H+1 rounds (H = tight-DAG depth, measured by sigma
+    itself), and delta runs exactly H rounds, regardless of how the
+    edge table is partitioned.  Rounds are counted via the per-round
+    localCheckpoint each phase performs (one extra for each phase's
+    init state)."""
     # patch the runtime class (Spark 4: pyspark.sql.DataFrame is the
     # abstract base; instances are classic.dataframe.DataFrame)
     from pyspark.sql.classic.dataframe import DataFrame
@@ -233,17 +235,57 @@ def test_fixpoints_terminate_in_depth_plus_one_rounds(spark, monkeypatch):
 
     t = _tight_edges(e, dist)
     calls["n"] = 0
-    sigma = _sigma_fixpoint(t, dist, depth)
-    assert calls["n"] == depth + 1, "sigma: init + exactly depth rounds"
+    sigma, dag_depth = _sigma_fixpoint(t, dist)
+    assert dag_depth == 3, "tight-DAG depth of the fixture"
+    assert calls["n"] == dag_depth + 2, (
+        "sigma: init + H changing rounds + one zero-change round")
     smap = {(r["s"], r["id"]): r["sigma"] for r in sigma.collect()}
     assert smap[(0, 4)] == 2.0 and smap[(0, 3)] == 2.0
 
     calls["n"] = 0
-    delta = _delta_fixpoint(t, sigma, depth)
-    assert calls["n"] == depth + 1, "delta: init + exactly depth rounds"
+    delta = _delta_fixpoint(t, sigma, dag_depth)
+    assert calls["n"] == dag_depth + 1, "delta: init + exactly H rounds"
     dl = {(r["s"], r["id"]): r["delta"] for r in delta.collect()}
     assert dl[(0, 3)] == pytest.approx(1.0)
     # delta(0,1) = sigma1/sigma3 * (1 + delta3) = 1/2 * 2 = 1
     assert dl[(0, 1)] == pytest.approx(1.0)
     # delta(0,0) = via (0,1) 1/1*(1+1) + via (0,2) 1/1*(1+1) = 4
     assert dl[(0, 0)] == pytest.approx(4.0)
+
+
+# regression for the h_min < H tie bug: equal-weight geodesics with
+# different hop counts.  The direct edge 0->3 (weight 3) TIES the
+# 3-hop chain 0->1->2->3 (1+1+1), so Bellman-Ford settles vertex 3 in
+# round 1 and its changed-round count is 2 — but the tight DAG runs 3
+# deep.  A sigma/delta bound taken from the distance phase computes
+# sigma(3)=1 instead of 2 and halves the interior dependencies.
+TIE_EDGES = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (0, 3, 3.0),
+             # a second tied diamond hanging off vertex 3 to make the
+             # interior contributions non-trivial
+             (3, 4, 1.0), (4, 5, 1.0), (3, 5, 2.0)]
+TIE_N = 6
+
+
+def test_betweenness_weighted_tied_hop_counts(spark):
+    e = spark.createDataFrame(TIE_EDGES, "src long, dst long, weight double")
+    g = Graph(e, spark.range(TIE_N).toDF("id"), directed=True)
+    got = {r["id"]: r["betweenness"]
+           for r in betweenness_weighted(g).collect()}
+    exp = _brandes_weighted(TIE_N, TIE_EDGES, directed=True)
+    for v in range(TIE_N):
+        assert got[v] == pytest.approx(exp[v], abs=1e-9), f"vertex {v}"
+
+
+def test_sigma_depth_exceeds_distance_depth(spark):
+    """The fixture's whole point: h_min (distance rounds) < H (sigma
+    rounds), and sigma is exact anyway because it measures H itself."""
+    from igraph_spark.algorithms.weighted_centrality import (
+        weighted_distances, _tight_edges, _sigma_fixpoint)
+    e = spark.createDataFrame(TIE_EDGES[:4], "src long, dst long, w double")
+    src = spark.createDataFrame([(0,)], "s long")
+    dist, h_min = weighted_distances(e, src)
+    t = _tight_edges(e, dist)
+    sigma, h = _sigma_fixpoint(t, dist)
+    assert h_min == 2 and h == 3, (h_min, h)
+    smap = {r["id"]: r["sigma"] for r in sigma.collect()}
+    assert smap[3] == 2.0, "both the direct edge and the 3-hop chain"
