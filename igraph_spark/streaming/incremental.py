@@ -124,7 +124,8 @@ def merge_components(state: DataFrame, new_edges: DataFrame,
             [(o, c) for o, c in pairs.items() if o != c],
             "old_lbl long, new_lbl long")
     else:
-        m = _weak_components_raw(Graph(le, directed=False))
+        m = _weak_components_raw(Graph(le, directed=False),
+                                 max_iter=max_iter)
         mapping = (m.where(F.col(ID) != F.col("comp"))
                    .select(F.col(ID).alias("old_lbl"),
                            F.col("comp").alias("new_lbl")))
@@ -309,41 +310,68 @@ def incremental_components_ingest(edge_stream: DataFrame, state_path: str,
 
     Each micro-batch is folded in with ``merge_components`` and the
     state written to ``state_path/epoch=<n>`` with a ``_LATEST``
-    pointer written last (write-then-point, so a crash mid-write leaves
-    the previous epoch intact; the streaming checkpoint replays the
-    failed epoch into the same directory — idempotent).  Local-fs
-    pointer I/O; a cluster deployment would route it through the same
-    DFS as ``checkpoint_path``.  Returns the StreamingQuery; drain with
-    ``trigger(availableNow=True)``.
+    pointer written last.  The pointer IS the commit record, and the
+    at-least-once replay contract hangs on it from both sides:
+
+    * crash BEFORE the pointer flips (mid-parquet or just after):
+      ``_LATEST`` still names epoch N-1, so the replayed epoch N reads
+      N-1 and overwrites only the orphaned, uncommitted ``epoch=N``
+      directory — never a directory its own plan is reading;
+    * crash AFTER the pointer flips but before the streaming
+      checkpoint records batch N (the standard foreachBatch
+      redelivery window): the replayed epoch finds
+      ``_LATEST.epoch >= epoch_id`` and is a NO-OP.  Without that
+      gate the merge plan would lazily scan ``epoch=N`` while
+      ``mode("overwrite")`` deletes it underneath — Spark's
+      "cannot overwrite a path that is also being read from", wedging
+      the stream on every restart (``fold_components_epoch`` is
+      module-level so the replay test drives exactly this case).
+
+    Local-fs pointer I/O; a cluster deployment would route it through
+    the same DFS as ``checkpoint_path``.  Returns the StreamingQuery;
+    drain with ``trigger(availableNow=True)``.
     """
 
-    def _latest(spark: SparkSession) -> DataFrame | None:
-        ptr = os.path.join(state_path, "_LATEST")
-        if not os.path.exists(ptr):
-            return None
-        with open(ptr) as fh:
-            epoch = json.load(fh)["epoch"]
-        return spark.read.parquet(os.path.join(state_path, f"epoch={epoch}"))
-
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        state = _latest(spark)
-        if state is None:
-            state = spark.createDataFrame([], "id long, comp long")
-        out = merge_components(state, batch_df)
-        dest = os.path.join(state_path, f"epoch={epoch_id}")
-        (out.repartition(num_partitions, ID)
-            .write.mode("overwrite").parquet(dest))
-        tmp = os.path.join(state_path, "_LATEST.tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"epoch": epoch_id}, fh)
-        os.replace(tmp, os.path.join(state_path, "_LATEST"))
+        fold_components_epoch(batch_df, epoch_id, state_path,
+                              num_partitions)
 
     return (edge_stream.writeStream
             .foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_path)
             .trigger(availableNow=True)
             .start())
+
+
+def fold_components_epoch(batch_df: DataFrame, epoch_id: int,
+                          state_path: str,
+                          num_partitions: int = 32) -> bool:
+    """One foreachBatch body of ``incremental_components_ingest``:
+    fold ``batch_df`` into the persisted state as epoch ``epoch_id``.
+    Returns False (no-op) when the epoch is already committed — the
+    redelivery gate documented there."""
+    spark = batch_df.sparkSession
+    ptr_path = os.path.join(state_path, "_LATEST")
+    committed = None
+    if os.path.exists(ptr_path):
+        with open(ptr_path) as fh:
+            committed = json.load(fh)["epoch"]
+        if committed >= epoch_id:
+            return False  # replayed, already-committed epoch
+    if committed is None:
+        state = spark.createDataFrame([], "id long, comp long")
+    else:
+        state = spark.read.parquet(
+            os.path.join(state_path, f"epoch={committed}"))
+    out = merge_components(state, batch_df)
+    dest = os.path.join(state_path, f"epoch={epoch_id}")
+    (out.repartition(num_partitions, ID)
+        .write.mode("overwrite").parquet(dest))
+    tmp = os.path.join(state_path, "_LATEST.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"epoch": epoch_id}, fh)
+    os.replace(tmp, ptr_path)
+    return True
 
 
 def incremental_triangles_ingest(edge_stream: DataFrame, state_path: str,

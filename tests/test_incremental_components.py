@@ -121,3 +121,29 @@ def test_driver_and_distributed_label_merges_agree(spark):
     via_kernel = merge_components(seed, batch, driver_threshold=0)
     assert (via_driver.exceptAll(via_kernel).count() == 0
             and via_kernel.exceptAll(via_driver).count() == 0)
+
+
+def test_replayed_epoch_is_noop(spark, tmp_path):
+    """foreachBatch at-least-once redelivery: a crash after the
+    _LATEST pointer flips but before the streaming checkpoint records
+    the batch redelivers the SAME epoch_id.  The fold must detect the
+    committed epoch and no-op — the old code re-read epoch=N and
+    overwrote the same directory its merge plan was lazily scanning,
+    wedging the stream on every restart."""
+    from igraph_spark.streaming.incremental import fold_components_epoch
+    state_path = str(tmp_path / "state")
+    os.makedirs(state_path)
+    b0 = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    b1 = spark.createDataFrame([(2, 3), (5, 6)], "src long, dst long")
+    assert fold_components_epoch(b0, 0, state_path, num_partitions=2)
+    assert fold_components_epoch(b1, 1, state_path, num_partitions=2)
+    before = _dense(spark.read.parquet(f"{state_path}/epoch=1"))
+    # redeliver epoch 1 (and an older epoch 0, the stale-replay shape)
+    assert fold_components_epoch(b1, 1, state_path,
+                                 num_partitions=2) is False
+    assert fold_components_epoch(b0, 0, state_path,
+                                 num_partitions=2) is False
+    with open(os.path.join(state_path, "_LATEST")) as fh:
+        assert json.load(fh)["epoch"] == 1
+    after = _dense(spark.read.parquet(f"{state_path}/epoch=1"))
+    assert after == before == {0: 0, 1: 0, 2: 0, 3: 0, 5: 1, 6: 1}
