@@ -188,6 +188,15 @@ class SuperstepRunner:
         exactly the checkpointed supersteps, so a resumed run's history
         would diverge from a straight run's (the manifest's stated audit
         contract).
+
+        Only records up to the manifest's own superstep are ever
+        persisted: the manifest must describe the state it points at,
+        and writing later steps' records would hand a resumed run
+        pre-existing history for the supersteps it is about to re-run,
+        duplicating them (the run resumes from the manifest's step, so
+        anything after it in history is provisional).  A later step's
+        metric stays in the in-memory history and reaches the manifest
+        with the next durable checkpoint's serialization.
         """
         for rec in reversed(self.history):
             if rec["superstep"] == step:
@@ -196,8 +205,10 @@ class SuperstepRunner:
         else:
             return
         man = self._read_manifest()
-        if man is not None and man.get("params") == self._params:
-            man["history"] = self.history
+        if (man is not None and man.get("params") == self._params
+                and step <= man.get("superstep", -1)):
+            man["history"] = [r for r in self.history
+                              if r["superstep"] <= man["superstep"]]
             tmp = self._manifest_path() + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(man, fh, indent=1)

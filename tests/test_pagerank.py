@@ -181,3 +181,40 @@ def test_durable_manifest_history_carries_delta(spark, tmp_path):
             f"superstep {rec['superstep']} missing delta in the durable "
             "manifest — advance() serialized history before the metric "
             "was measured and update_metrics did not rewrite it")
+
+
+def test_manifest_never_holds_future_supersteps(spark, tmp_path):
+    """update_metrics for a step AFTER the manifest's checkpointed
+    superstep must not rewrite the manifest: a resumed run restarts at
+    manifest.superstep + 1 and re-runs those steps, so pre-persisted
+    records for them would duplicate on resume (the exact divergence
+    the audit contract forbids)."""
+    import json, os
+    from igraph_spark.checkpointing import SuperstepRunner
+    run_dir = str(tmp_path / "runner")
+    r = SuperstepRunner(spark, run_dir=run_dir, checkpoint_every=5)
+    state, first, _ = r.start(spark.range(4).toDF("id"),
+                              params={"algo": "t", "v": 1})
+    assert first == 0
+    for step in range(7):  # durable at step 4 (…+1 % 5 == 0)
+        state = r.advance(step, state.selectExpr("id"))
+        r.update_metrics(step, {"delta": float(step)})
+    with open(os.path.join(run_dir, "manifest.json")) as fh:
+        man = json.load(fh)
+    assert man["superstep"] == 4
+    steps = [rec["superstep"] for rec in man["history"]]
+    assert steps == list(range(5)), (
+        f"manifest at superstep 4 must hold history 0..4 only, got {steps}")
+    # the checkpointed step's late metric DID land
+    assert man["history"][4]["delta"] == 4.0
+    # resume: history comes back clean, next step is 5
+    r2 = SuperstepRunner(spark, run_dir=run_dir, checkpoint_every=5)
+    state2, first2, hist2 = r2.start(spark.range(4).toDF("id"),
+                                     params={"algo": "t", "v": 1})
+    assert first2 == 5
+    assert [rec["superstep"] for rec in hist2] == list(range(5))
+    # re-running steps 5-6 appends exactly one record each
+    for step in range(5, 7):
+        state2 = r2.advance(step, state2.selectExpr("id"))
+        r2.update_metrics(step, {"delta": float(step)})
+    assert [rec["superstep"] for rec in r2.history] == list(range(7))
