@@ -11,6 +11,11 @@ solver; the Spark-native shape keeps the domain as a DataFrame
 
 * degree consistency — ``deg_G(tv) >= deg_P(pu)`` per direction
   (lad.c ``igraph_i_lad_initDomains`` compatibility check);
+* loop consistency — a pattern vertex carrying a self-loop binds only
+  to looped target vertices (the reference maps looped pattern
+  vertices onto looped images; loop MULTIPLICITY is ignored, the
+  module-wide simple-graph contract), and ``induced`` additionally
+  forbids a loop at the image of a loop-FREE pattern vertex;
 * arc consistency to fixpoint — for every pattern edge ``(u, v)``, a
   candidate ``(u, a)`` survives only if some ``b ∈ D(v)`` with
   ``(a, b)`` an edge of G exists.  All arc-sides are revised in
@@ -104,6 +109,19 @@ def lad_domains(graph: Graph, pattern: list[tuple[int, int]],
     dom = (deg.join(F.broadcast(shape),
                     cond[0] if len(cond) == 1 else cond[0] & cond[1])
            .select(_PU, F.col(ID).alias(_TV)))
+    loop_pus = sorted({a for a, b in pattern if a == b})
+    if loop_pus:
+        # a looped pattern vertex only maps onto a looped target
+        # vertex (lad.c initDomains checks the loop bit); constrain
+        # those domains, leave the rest untouched
+        looped_tv = (graph.edges.where(F.col(SRC) == F.col(DST))
+                     .select(F.col(SRC).cast("long").alias(_TV))
+                     .distinct())
+        lp = spark.createDataFrame([(u,) for u in loop_pus],
+                                   f"{_PU} int")
+        dom = (dom.join(F.broadcast(lp), _PU, "left_anti")
+               .unionByName(dom.join(F.broadcast(lp), _PU, "left_semi")
+                            .join(looped_tv, _TV, "left_semi")))
     if isinstance(domains, DataFrame):
         dom = dom.join(domains.select(F.col(_PU).cast("int"),
                                       F.col(_TV).cast("long")),
@@ -353,6 +371,21 @@ def subisomorphic_lad(graph: Graph, pattern: list[tuple[int, int]],
                         e.select(F.col(SRC).alias(f"v{i}"),
                                  F.col(DST).alias(f"v{j}")),
                         [f"v{i}", f"v{j}"], "left_anti")
+        # induced also covers loops: a loop-free pattern vertex's
+        # image must itself be loop-free (its looped counterpart is
+        # already domain-constrained in lad_domains)
+        loop_pus = {a for a, b in pattern if a == b}
+        loopless = [u for u in range(k) if u not in loop_pus]
+        if loopless:
+            looped_tv = (graph.edges
+                         .where(F.col(SRC) == F.col(DST))
+                         .select(F.col(SRC).cast("long").alias("ltv"))
+                         .distinct()
+                         .persist(StorageLevel.MEMORY_AND_DISK))
+            for u in loopless:
+                maps = maps.join(
+                    looped_tv.withColumnRenamed("ltv", f"v{u}"),
+                    f"v{u}", "left_anti")
     return maps.select(*[f"v{i}" for i in range(k)])
 
 

@@ -142,3 +142,43 @@ def test_lad_reference_motif_identity(spark):
         assert n_maps == _brute(edges, n, pat, 3, True, induced=True)
         total += n_maps // auts
     assert total == comb(n, 3)
+
+
+def test_lad_loop_pattern_requires_looped_image(spark):
+    """A looped pattern vertex binds only to looped target vertices
+    (lad.c initDomains checks the loop bit).  The old code silently
+    dropped loop edges and returned every degree-compatible vertex."""
+    # loop-free graph: [(0,0)] must match nothing
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2)], n=3, directed=True)
+    assert count_subisomorphisms_lad(g, [(0, 0)], n=1) == 0
+    # loops at 0 and 2: exactly those two singleton matches
+    g2 = Graph.from_edge_list(
+        spark, [(0, 0), (0, 1), (1, 2), (2, 2)], n=3, directed=True)
+    got = {r["v0"] for r in subisomorphic_lad(g2, [(0, 0)], n=1).collect()}
+    assert got == {0, 2}
+    # mixed pattern: edge (a, b) with a loop at the image of b.
+    # 1->2 works (loop at 2); 0->1 fails (no loop at 1); the 0->0
+    # loop edge would need v0 == v1, killed by injectivity.
+    got = {(r["v0"], r["v1"])
+           for r in subisomorphic_lad(g2, [(0, 1), (1, 1)]).collect()}
+    assert got == {(1, 2)}
+
+
+def test_lad_induced_forbids_loop_at_loopfree_image(spark):
+    """induced=True: the image of a loop-FREE pattern vertex must be
+    loop-free too (the induced subgraph includes loops)."""
+    g = Graph.from_edge_list(
+        spark, [(0, 1), (1, 1), (2, 3)], n=4, directed=True)
+    # non-induced: both edges match the single-edge pattern
+    got = {(r["v0"], r["v1"])
+           for r in subisomorphic_lad(g, [(0, 1)], induced=False).collect()}
+    assert got == {(0, 1), (2, 3)}
+    # induced: (0, 1) is out because image vertex 1 carries a loop
+    got = {(r["v0"], r["v1"])
+           for r in subisomorphic_lad(g, [(0, 1)], induced=True).collect()}
+    assert got == {(2, 3)}
+    # and a looped pattern edge under induced keeps its match
+    got = {(r["v0"], r["v1"])
+           for r in subisomorphic_lad(g, [(0, 1), (1, 1)],
+                                      induced=True).collect()}
+    assert got == {(0, 1)}
