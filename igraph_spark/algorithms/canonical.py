@@ -207,14 +207,37 @@ def canonical_form(graph: Graph, max_vertices: int = 64,
                   for u in vids for v in out[u]) + [(r, r) for r in loops]
 
 
+def _collapsed_counts(g: Graph) -> tuple[int, int]:
+    """(distinct non-loop edges after parallel collapse, distinct
+    looped vertices) — the exact edge universe ``canonical_form``
+    compares, so a precheck on these can never contradict form
+    equality."""
+    e = g.edges.select(SRC, DST)
+    loops = (e.where(F.col(SRC) == F.col(DST))
+             .select(SRC).distinct().count())
+    ne = e.where(F.col(SRC) != F.col(DST))
+    if not g.directed:
+        ne = ne.select(F.least(SRC, DST).alias(SRC),
+                       F.greatest(SRC, DST).alias(DST))
+    return ne.distinct().count(), loops
+
+
 def isomorphic_canonical(g1: Graph, g2: Graph,
                          max_vertices: int = 64,
                          max_nodes: int = 200_000) -> bool:
     """Whole-graph isomorphism by canonical-form equality — the bliss
-    path of igraph_isomorphic, complementing the VF2 analog."""
+    path of igraph_isomorphic, complementing the VF2 analog.
+
+    Under the module's simple-graph contract (parallel edges collapse
+    in the form), the precheck counts COLLAPSED edges, not raw
+    multiplicities — a raw ecount() gate would call two multigraphs
+    non-isomorphic whose collapsed forms (the thing this function
+    actually compares) are identical."""
     if g1.directed != g2.directed:
         return False
-    if g1.vcount() != g2.vcount() or g1.ecount() != g2.ecount():
+    if g1.vcount() != g2.vcount():
+        return False
+    if _collapsed_counts(g1) != _collapsed_counts(g2):
         return False
     return (canonical_form(g1, max_vertices, max_nodes)
             == canonical_form(g2, max_vertices, max_nodes))

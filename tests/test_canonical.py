@@ -151,3 +151,25 @@ def test_budget_raises_honestly(spark):
     g = Graph.from_edge_list(spark, k7, n=7, directed=False)
     with pytest.raises(ValueError, match="max_nodes"):
         canonical_form(g, max_nodes=3)
+
+
+def test_isomorphic_canonical_multigraph_consistency(spark):
+    """The precheck must agree with what canonical_form compares:
+    collapsed simple edges. A raw ecount() gate returned False for a
+    multigraph vs its collapsed twin even though their forms (the
+    documented contract) are equal."""
+    from igraph_spark.algorithms.canonical import (canonical_form,
+                                                   isomorphic_canonical)
+    g1 = Graph.from_edge_list(spark, [(0, 1), (0, 1), (1, 2)], n=3,
+                              directed=False)
+    g2 = Graph.from_edge_list(spark, [(0, 1), (1, 2)], n=3,
+                              directed=False)
+    assert canonical_form(g1) == canonical_form(g2)
+    assert isomorphic_canonical(g1, g2)
+    # and the precheck still rejects genuinely different graphs fast
+    g3 = Graph.from_edge_list(spark, [(0, 1)], n=3, directed=False)
+    assert not isomorphic_canonical(g1, g3)
+    # loop multiset: looped-vertex COUNT differs -> not isomorphic
+    g4 = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 2)], n=3,
+                              directed=False)
+    assert not isomorphic_canonical(g2, g4)
