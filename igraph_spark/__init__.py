@@ -92,6 +92,13 @@ from igraph_spark.algorithms.isomorphism import (
     is_isomorphic,
     subgraph_isomorphisms,
 )
+from igraph_spark.algorithms.hyperball import (
+    average_path_length_approx,
+    closeness_approx,
+    effective_diameter,
+    hyperball,
+    neighborhood_function,
+)
 from igraph_spark.algorithms.canonical import (
     automorphism_generators,
     canonical_form,
@@ -183,6 +190,11 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Graph",
+    "hyperball",
+    "neighborhood_function",
+    "effective_diameter",
+    "average_path_length_approx",
+    "closeness_approx",
     "pagerank",
     "personalized_pagerank",
     "connected_components",
