@@ -1221,6 +1221,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    displaces ann_ivf (unchanged since its r04 official pass,
         #    due back r06) per the new-query-ships-into-window policy --
         "subiso_lad": q_subiso_lad,
+        # -- NEW in r05, terminal-round swap: these five shipped after
+        #    the r05 window first sealed and were ledgered
+        #    pending_next_round — but r05 is the final round, so the
+        #    deferral slot they were owed does not exist.  Policy (b)
+        #    (every NEW query gates the round it ships) outranks the
+        #    rotation slot of five r03-cohort queries that are already
+        #    double-verified: officially gated in r03 AND independently
+        #    re-run hash-exact by the r04 judge (VERDICT.md pass*).
+        #    The displaced five (bfs_order, dfs_order, simple_paths,
+        #    degree_all, strength_all) move to the tail below;
+        #    GATE_WINDOW.json carries the machine-readable record
+        #    (displaced_terminal) and tests/test_gate_window.py
+        #    asserts every displaced query has a prior official gate. --
+        "wl_partition": q_wl_partition,
+        "canonical_iso": q_canonical_iso,
+        "wcc_incremental": q_wcc_incremental,
+        "triangles_incremental": q_triangles_incremental,
+        "hyperball_nf": q_hyperball_nf,
         # -- rotation: the r03-gated cohort returns (due back r05) --
         "eigenvector": q_eigenvector,
         "hits": q_hits,
@@ -1235,14 +1253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": q_bfs,
         "shortest_paths": q_shortest_paths,
         "all_shortest_path_counts": q_asp_counts,
-        "bfs_order": q_bfs_order,
-        "dfs_order": q_dfs_order,
-        "simple_paths": q_simple_paths,
         "fsm_mib_wedge": q_fsm_mib_wedge,
         "fsm_triangle_mib": q_fsm_triangle_mib,
         "dynamic_transitions": q_dynamic_transitions,
-        "degree_all": q_degree_all,
-        "strength_all": q_strength_all,
         "assortativity": q_assortativity,
         "bipartite_projection": q_bipartite_projection,
         "dyad_census": q_dyad_census,
@@ -1257,7 +1270,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_near_dup_lsh": q_ann_near_dup_lsh,
         "mst": q_mst,
         "dedup_clusters": q_dedup_clusters,
-        # ------- tail: r04-gated cohort, due back r06 -------
+        # ------- tail -------
+        # displaced by the terminal-round swap above: officially gated
+        # r03, judge-re-run hash-exact r04 (VERDICT.md pass*), locally
+        # re-verified hash-exact at sf0.01 this round
+        # (tools/check_oracle.py closing sweep)
+        "bfs_order": q_bfs_order,
+        "dfs_order": q_dfs_order,
+        "simple_paths": q_simple_paths,
+        "degree_all": q_degree_all,
+        "strength_all": q_strength_all,
+        # r04-gated cohort
         "ann_ivf": q_ann_ivf,
         "power_law_alpha": q_power_law_alpha,
         "simhash_pairs": q_simhash_pairs,
@@ -1294,14 +1317,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "closeness": q_closeness,
         "sssp_weighted": q_sssp_weighted,
-        # registered after the r05 window was sealed by the mandatory
-        # r03 re-gate cohort; ledgered in GATE_WINDOW.json
-        # pending_next_round, oracle-verified locally on landing
-        "wl_partition": q_wl_partition,
-        "canonical_iso": q_canonical_iso,
-        "wcc_incremental": q_wcc_incremental,
-        "triangles_incremental": q_triangles_incremental,
-        "hyperball_nf": q_hyperball_nf,
     }
 
 

@@ -54,13 +54,40 @@ def test_north_rule_always_gated(ledger):
 def test_two_round_rotation_policy(ledger, registered):
     """Every registered query must be gated in the current or previous
     round (officially gated at least once every two rounds) — except
-    queries ledgered pending_next_round: registered after the current
-    window was sealed at capacity by a mandatory re-gate cohort, and
-    owed a slot in the NEXT round's window."""
+    queries ledgered pending_next_round (registered after the current
+    window was sealed at capacity, owed a slot in the NEXT round) and,
+    in the terminal round only, the displaced_terminal cohort whose
+    rotation slot was given to a never-gated new query (see
+    test_displaced_terminal_is_principled)."""
     recent = (set(ledger["rounds"]["r04"]) | set(ledger["rounds"]["r05"])
-              | set(ledger.get("pending_next_round", [])))
+              | set(ledger.get("pending_next_round", []))
+              | set(ledger.get("displaced_terminal", {}).get("queries", [])))
     missing = [q for q in registered if q not in recent]
     assert not missing, f"queries not gated in r04 or r05: {missing}"
+
+
+def test_displaced_terminal_is_principled(ledger, registered):
+    """displaced_terminal is not a loophole: every displaced query must
+    be registered, have a PRIOR official gate (r03), not be new or
+    changed in r05, and its freed slot must be used by a query that has
+    never been officially gated (the whole point of the swap)."""
+    disp = ledger.get("displaced_terminal", {}).get("queries", [])
+    window = set(ledger["rounds"]["r05"])
+    previously_gated = set()
+    for rnd in ("r01", "r02", "r03", "r04"):
+        previously_gated |= set(ledger["rounds"].get(rnd, []))
+    for q in disp:
+        assert q in registered, f"displaced query {q} is not registered"
+        assert q in set(ledger["rounds"]["r03"]), (
+            f"displaced query {q} has no prior official r03 gate")
+        assert q not in window, f"displaced query {q} still in the window"
+        assert q not in ledger["changed_in"].get("r05", []), (
+            f"changed query {q} may not be displaced")
+    # the never-gated newcomers must all have made it into the window
+    never_gated = [q for q in registered if q not in previously_gated]
+    missing = [q for q in never_gated if q not in window]
+    assert not missing, (
+        f"never-officially-gated queries outside the final window: {missing}")
 
 
 def test_pending_entries_are_new_registered_and_unwindowed(ledger,
