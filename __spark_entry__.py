@@ -872,6 +872,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .localCheckpoint(eager=True))
         return out
 
+    def q_atlas_counts(spark, sf):
+        # Generated Graph Atlas (algorithms/atlas.py: distributed
+        # orderly generation + McKay canonical dedup), reduced to the
+        # per-(n, m) isomorphism-class histogram.  The oracle is a
+        # VALUES literal of OEIS A008406 — published constants the
+        # engine never sees, so the check is fully independent.
+        # n_max=6 keeps the gate leg a few seconds; n=7 is exercised
+        # (against the same constants) in tests/test_atlas.py.
+        from igraph_spark.algorithms.atlas import atlas_table
+        with _lean_conf(spark):
+            out = (atlas_table(spark, n_max=6)
+                   .groupBy("n", "m").agg(F.count("*").alias("n_graphs"))
+                   .localCheckpoint(eager=True))
+        return out
+
     def q_wl_partition(spark, sf):
         # 1-WL color refinement (canonical.py wl_colors) on the clique
         # graph: the color VALUES are engine-hash-dependent, but the
@@ -1239,13 +1254,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_incremental": q_wcc_incremental,
         "triangles_incremental": q_triangles_incremental,
         "hyperball_nf": q_hyperball_nf,
+        # -- NEW in r05 (atlas family closed: generated Graph Atlas vs
+        #    the published A008406 constants); displaces subiso_c4,
+        #    whose subgraph-pattern semantics stay window-covered by
+        #    subiso_lad --
+        "atlas_counts": q_atlas_counts,
         # -- rotation: the r03-gated cohort returns (due back r05) --
         "eigenvector": q_eigenvector,
         "hits": q_hits,
         "random_walks": q_random_walks,
         "maximal_cliques": q_maximal_cliques,
         "girth": q_girth,
-        "subiso_c4": q_subiso_c4,
         "constraint": q_constraint,
         "centralization_degree": q_centralization_degree,
         "scan1": q_scan1,
@@ -1280,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_paths": q_simple_paths,
         "degree_all": q_degree_all,
         "strength_all": q_strength_all,
+        "subiso_c4": q_subiso_c4,
         # r04-gated cohort
         "ann_ivf": q_ann_ivf,
         "power_law_alpha": q_power_law_alpha,
@@ -3094,6 +3114,26 @@ def oracle_sql() -> dict[str, str]:
         "ppr": _ppr_oracle(_PR_ITERS),
         "sssp_weighted": _sssp_oracle(),
         "wl_partition": _wl_partition_oracle(),
+        # Generated Graph Atlas histogram vs OEIS A008406 — published
+        # constants (plus the n=0 null-graph row), never computed by
+        # the engine: a wrong graph count, a missed isomorphism
+        # collapse, or a spurious duplicate all hash-mismatch here.
+        "atlas_counts": """
+          SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+                 CAST(n_graphs AS BIGINT) AS n_graphs
+          FROM (VALUES
+            (0,0,1),
+            (1,0,1),
+            (2,0,1),(2,1,1),
+            (3,0,1),(3,1,1),(3,2,1),(3,3,1),
+            (4,0,1),(4,1,1),(4,2,2),(4,3,3),(4,4,2),(4,5,1),(4,6,1),
+            (5,0,1),(5,1,1),(5,2,2),(5,3,4),(5,4,6),(5,5,6),(5,6,6),
+            (5,7,4),(5,8,2),(5,9,1),(5,10,1),
+            (6,0,1),(6,1,1),(6,2,2),(6,3,5),(6,4,9),(6,5,15),(6,6,21),
+            (6,7,24),(6,8,24),(6,9,21),(6,10,15),(6,11,9),(6,12,5),
+            (6,13,2),(6,14,1),(6,15,1)
+          ) AS t(n, m, n_graphs)
+        """,
         "canonical_iso": _canonical_iso_oracle(),
         # incremental maintenance must land exactly where the batch
         # recompute lands: same oracle as wcc_sizes / triangle_count

@@ -99,6 +99,7 @@ from igraph_spark.algorithms.hyperball import (
     hyperball,
     neighborhood_function,
 )
+from igraph_spark.algorithms.atlas import atlas_table, graph_atlas
 from igraph_spark.algorithms.canonical import (
     automorphism_generators,
     canonical_form,
@@ -254,6 +255,8 @@ __all__ = [
     "is_isomorphic",
     "subgraph_isomorphisms",
     "automorphism_generators",
+    "atlas_table",
+    "graph_atlas",
     "canonical_form",
     "canonical_permutation",
     "isomorphic_canonical",

@@ -110,8 +110,17 @@ def _search(graph: Graph, max_vertices: int, max_nodes: int):
     """Individualization-refinement search -> (best leaf order,
     discovered automorphisms as {v: image} dicts)."""
     vids, out, inn, loops = _collect_small(graph, max_vertices)
+    return _search_maps(vids, out, inn, loops, max_nodes) + (out,)
+
+
+def _search_maps(vids: list[int], out, inn, loops, max_nodes: int):
+    """Pure-local core of the canonical search over adjacency maps —
+    no SparkSession, so it is callable inside Arrow-batched UDFs (the
+    atlas generator canonicalizes thousands of tiny graphs per batch
+    through this entry).  -> (best leaf order, discovered
+    automorphisms)."""
     if not vids:
-        return [], [], out
+        return [], []
     best: dict = {"edges": None, "order": None}
     autos: list[dict] = []
     budget = {"n": 0}
@@ -179,7 +188,7 @@ def _search(graph: Graph, max_vertices: int, max_nodes: int):
             recurse(ind, path + (v,))
 
     recurse([list(vids)], ())
-    return best["order"] or [], autos, out
+    return best["order"] or [], autos
 
 
 def canonical_permutation(graph: Graph, max_vertices: int = 64,
