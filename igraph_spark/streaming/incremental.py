@@ -80,6 +80,24 @@ def merge_components(state: DataFrame, new_edges: DataFrame,
     kernel → instant on a 500-edge label graph); batches large enough
     to break the gate fall back to the distributed hash-min kernel.
     """
+    newv, mapping = _merge_delta(state, new_edges, max_iter,
+                                 driver_threshold)
+    full = state.select(ID, "comp").unionByName(newv)
+    if mapping is None:
+        return full
+    return _apply_mapping(full, mapping)
+
+
+def _merge_delta(state: DataFrame, new_edges: DataFrame,
+                 max_iter: int = 200,
+                 driver_threshold: int = 1 << 21):
+    """The batch-sized delta of a component fold, WITHOUT touching the
+    O(V) state beyond its one map-side probe: -> (``newv`` —
+    singleton ``(id, comp)`` rows for endpoints unseen so far, and
+    ``mapping`` — the ``(old_lbl, new_lbl)`` relabel table, or None
+    when the batch merges nothing).  ``merge_components`` applies the
+    delta to the full in-memory state; ``BucketedComponentStore``
+    applies it to the affected PARTITIONS only."""
     e = (new_edges.select(F.col(SRC).cast("long").alias(SRC),
                           F.col(DST).cast("long").alias(DST))
          .where(F.col(SRC) != F.col(DST))
@@ -113,10 +131,9 @@ def merge_components(state: DataFrame, new_edges: DataFrame,
           .select(F.col("ca").alias(SRC), F.col("cb").alias(DST))
           .distinct()
           .localCheckpoint(eager=True))
-    full = base.unionByName(newv)
     n_le = le.count()
     if n_le == 0:
-        return full
+        return newv, None
 
     if n_le <= driver_threshold:
         pairs = _union_find_min((r[0], r[1]) for r in le.collect())
@@ -129,10 +146,15 @@ def merge_components(state: DataFrame, new_edges: DataFrame,
         mapping = (m.where(F.col(ID) != F.col("comp"))
                    .select(F.col(ID).alias("old_lbl"),
                            F.col("comp").alias("new_lbl")))
-    return (full.join(F.broadcast(mapping),
-                      full["comp"] == mapping["old_lbl"], "left")
-            .select(full[ID],
-                    F.coalesce("new_lbl", full["comp"]).alias("comp")))
+    return newv, mapping
+
+
+def _apply_mapping(rows: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Relabel ``(id, comp)`` rows by the broadcast old->new mapping."""
+    return (rows.join(F.broadcast(mapping),
+                      rows["comp"] == mapping["old_lbl"], "left")
+            .select(rows[ID],
+                    F.coalesce("new_lbl", rows["comp"]).alias("comp")))
 
 
 def _union_find_min(pairs) -> dict[int, int]:
