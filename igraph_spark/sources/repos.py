@@ -22,6 +22,33 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 LANGS = ["py", "c", "java", "md"]
 
+REPOS_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def read_repos(spark: SparkSession, source: str) -> DataFrame:
+    """Load the production repos table from ``source`` — an Iceberg
+    (or any catalog) table identifier like ``catalog.db.repos``, or a
+    parquet path (the test-scale stand-in; paths are detected by a
+    ``/`` or a ``.parquet`` suffix).
+
+    The catalog route goes through ``spark.read.table``, so Iceberg's
+    DataSourceV2 scan applies column pruning and partition pruning to
+    whatever the downstream plan selects — ``import_edges`` /
+    ``co_commit_edges`` only touch (repo, path, commit, content), and
+    at 10^12 files the pruned scan IS the feasibility condition.  The
+    schema is validated eagerly so a mis-pointed table fails here, not
+    three joins deep."""
+    if "/" in source or source.endswith(".parquet"):
+        df = spark.read.parquet(source)
+    else:
+        df = spark.read.table(source)
+    missing = [c for c in REPOS_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"repos source {source!r} lacks columns {missing}; expected "
+            f"{list(REPOS_COLUMNS)}")
+    return df.select(*REPOS_COLUMNS)
+
 
 def synth_repos(spark: SparkSession, n_repos: int = 10,
                 files_per_repo: int = 100, commits_per_file: int = 3,

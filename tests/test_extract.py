@@ -4,6 +4,7 @@ Catalyst regex agreement, co-commit/import graph shape."""
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from igraph_spark.sources.repos import synth_repos, with_content_sha
@@ -70,3 +71,25 @@ def test_import_graph_pagerank_end_to_end(spark):
     hubs = {r["id"] for r in
             file_vertices(repos).where("path like '%/f0.%'").collect()}
     assert any(r["id"] in hubs for r in top)
+
+
+def test_read_repos_parquet_and_table(spark, tmp_path):
+    """read_repos: parquet path and catalog-identifier routes both
+    land on the validated (repo, path, commit, lang, content)
+    projection; a mis-shaped source fails eagerly."""
+    from igraph_spark.sources.repos import REPOS_COLUMNS, read_repos
+    src = synth_repos(spark, n_repos=2, files_per_repo=5)
+    p = str(tmp_path / "repos.parquet")
+    src.withColumn("extra", F.lit(1)).write.parquet(p)
+    via_path = read_repos(spark, p)
+    assert via_path.columns == list(REPOS_COLUMNS)
+    assert via_path.count() == src.count()
+    # catalog-identifier route (temp view stands in for an Iceberg
+    # table identifier; both resolve through spark.read.table)
+    src.createOrReplaceTempView("repos_tbl")
+    via_table = read_repos(spark, "repos_tbl")
+    assert via_table.columns == list(REPOS_COLUMNS)
+    assert via_table.count() == src.count()
+    spark.range(3).createOrReplaceTempView("not_repos")
+    with pytest.raises(ValueError, match="lacks columns"):
+        read_repos(spark, "not_repos")
