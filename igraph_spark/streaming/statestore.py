@@ -20,13 +20,19 @@ COMPONENTS instead:
   tests/test_statestore.py), relabels them, and writes them to the
   new epoch's directory;
 * commit is the manifest flip (``os.replace``, written LAST): a
-  per-bucket epoch map ``{bucket: epoch}`` — copy-on-write at bucket
-  granularity.  A crash mid-write leaves orphan files in an
+  per-bucket leaf list ``{bucket: [epoch, ...]}`` — copy-on-write at
+  bucket granularity.  A crash mid-write leaves orphan files in an
   uncommitted ``epoch=N`` directory that no manifest references, and
   a replayed epoch (``epoch_id <= committed``) is a no-op, the same
   at-least-once contract as ``fold_components_epoch``.  A bucket
   whose rows all merged away is dropped from the manifest (its stale
-  directory is superseded, not read).
+  directory is superseded, not read);
+* arrivals-only folds (new vertices, nothing relabeled) skip the
+  read-rewrite entirely: the new rows land as a DELTA leaf appended
+  to their buckets' manifest lists (LSM-lite), so a pure-arrival
+  batch costs O(|batch|) durable bytes no matter how its labels hash.
+  The next merge fold touching a bucket compacts its base + deltas
+  back to one leaf.
 
 At 10^9 vertices and B = 4096, a 10k-edge batch touching ~10
 components rewrites ~10 buckets (~250k rows each) instead of 10^9
@@ -81,14 +87,32 @@ class BucketedComponentStore:
         with open(p) as fh:
             return json.load(fh)
 
-    def _commit(self, bucket_epoch: dict, epoch: int) -> None:
+    def _commit(self, bucket_epoch: dict, epoch: int,
+                compactions: int | None = None) -> None:
+        """``bucket_epoch``: {bucket: [epoch, ...]} — each bucket's
+        rows are the UNION of its listed epoch leaves (a compacted
+        base plus any arrival deltas, oldest first)."""
+        if compactions is None:
+            m = self._read_manifest()
+            compactions = 0 if m is None else int(m.get("compactions", 0))
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"epoch": epoch, "n_buckets": self.n_buckets,
-                       "bucket_epoch": {str(b): e for b, e
+                       "compactions": compactions,
+                       "bucket_epoch": {str(b): list(es) for b, es
                                         in sorted(bucket_epoch.items())}},
                       fh)
         os.replace(tmp, self._manifest_path())
+
+    def _bucket_epochs(self) -> dict:
+        """Leaf epochs per bucket; stream epochs are ints, compaction
+        epochs are ``c<k>`` string tags (they never collide with the
+        stream's monotonically increasing ids or its replay gate)."""
+        m = self._read_manifest()
+        if m is None:
+            raise ValueError(f"no committed state at {self.path}")
+        return {int(b): [e if isinstance(e, str) else int(e) for e in es]
+                for b, es in m["bucket_epoch"].items()}
 
     def committed_epoch(self):
         m = self._read_manifest()
@@ -100,13 +124,11 @@ class BucketedComponentStore:
         return os.path.join(self.path, f"epoch={epoch}", f"bucket={bucket}")
 
     def _current_leaves(self, buckets=None) -> list[str]:
-        m = self._read_manifest()
-        if m is None:
-            raise ValueError(f"no committed state at {self.path}")
-        be = {int(b): int(e) for b, e in m["bucket_epoch"].items()}
+        be = self._bucket_epochs()
         if buckets is not None:
-            be = {b: e for b, e in be.items() if b in buckets}
-        return [self._leaf(e, b) for b, e in sorted(be.items())]
+            be = {b: es for b, es in be.items() if b in buckets}
+        return [self._leaf(e, b) for b, es in sorted(be.items())
+                for e in es]
 
     def _read(self, buckets=None) -> DataFrame:
         leaves = self._current_leaves(buckets)
@@ -121,9 +143,10 @@ class BucketedComponentStore:
 
     # -------------------------------------------------------------- writes
 
-    def _write_epoch(self, rows: DataFrame, epoch: int) -> list[int]:
-        """Write ``rows`` to ``epoch=<epoch>`` partitioned by the label
-        bucket; -> the bucket ids that actually materialized."""
+    def _write_epoch(self, rows: DataFrame, epoch) -> list[int]:
+        """Write ``rows`` to ``epoch=<epoch>`` (stream int or ``c<k>``
+        compaction tag) partitioned by the label bucket; -> the bucket
+        ids that actually materialized."""
         out = rows.withColumn("bucket", _bucket(F.col("comp"),
                                                 self.n_buckets))
         dest = os.path.join(self.path, f"epoch={epoch}")
@@ -136,7 +159,7 @@ class BucketedComponentStore:
         """Seed the store from a converged label table (full write —
         the one O(V) durable pass; every later fold is bucket-pruned)."""
         got = self._write_epoch(state.select(ID, "comp"), epoch)
-        self._commit({b: epoch for b in got}, epoch)
+        self._commit({b: [epoch] for b in got}, epoch)
 
     def apply_batch(self, new_edges: DataFrame, epoch_id: int,
                     max_iter: int = 200,
@@ -153,37 +176,52 @@ class BucketedComponentStore:
         newv_raw = newv_raw.localCheckpoint(eager=True)
         newv = (_apply_mapping(newv_raw, mapping) if mapping is not None
                 else newv_raw).localCheckpoint(eager=True)
+        bucket_epoch = self._bucket_epochs()
 
-        # affected buckets, closed under row movement: every bucket a
-        # STORED row can leave (old labels present in state) or enter
-        # (their new labels, plus the new rows' final labels) is
-        # rewritten this epoch.  Mapping entries whose old_lbl is a
-        # brand-new singleton id are excluded — no stored row carries
-        # that label, so its bucket holds nothing to relabel (their
-        # rows enter via newv's FINAL comp, which is included).
-        aff_lbl = newv.select(F.col("comp").alias("l"))
+        # mapping entries whose old_lbl is a brand-new singleton id
+        # relabel only rows of THIS batch (already applied to newv
+        # above) — no stored row carries such a label.  Only the rest
+        # ("stored" relabels) force a read-rewrite.
+        stored = None
         if mapping is not None:
             stored = mapping.join(
                 F.broadcast(newv_raw.select(
-                    F.col(ID).alias("old_lbl"))), "old_lbl", "left_anti")
-            aff_lbl = aff_lbl.unionByName(
-                stored.select(F.col("old_lbl").alias("l"))).unionByName(
-                stored.select(F.col("new_lbl").alias("l")))
+                    F.col(ID).alias("old_lbl"))), "old_lbl", "left_anti"
+                ).localCheckpoint(eager=True)
+
+        if stored is None or stored.isEmpty():
+            # arrivals-only fold (incl. new-new merges): no stored row
+            # relabels, so nothing is read or rewritten — the new rows
+            # land as a DELTA leaf appended to their buckets' manifest
+            # lists (LSM-lite).  Durable bytes are O(|batch|)
+            # regardless of which buckets the new labels hash into.
+            got = set(self._write_epoch(newv.select(ID, "comp"),
+                                        epoch_id))
+            self._pruned_input_files = []
+            for b in got:
+                bucket_epoch.setdefault(b, []).append(epoch_id)
+            self._commit(bucket_epoch, epoch_id)
+            return {"n_buckets_rewritten": 0, "buckets": [],
+                    "n_delta_buckets": len(got),
+                    "n_new_vertices": newv.count()}
+
+        # merge fold: affected buckets, closed under row movement —
+        # every bucket a STORED row can leave (old labels present in
+        # state) or enter (their new labels, plus the new rows' final
+        # labels) is COMPACTED this epoch: all its leaves (base +
+        # deltas) read back pruned, relabeled, rewritten as one leaf.
+        aff_lbl = (newv.select(F.col("comp").alias("l"))
+                   .unionByName(stored.select(F.col("old_lbl").alias("l")))
+                   .unionByName(stored.select(F.col("new_lbl").alias("l"))))
         affected = sorted(
             r[0] for r in aff_lbl.select(
                 _bucket(F.col("l"), self.n_buckets).alias("b"))
             .distinct().collect())
-        if not affected:        # no new vertices, no merges
-            m = self._read_manifest()
-            self._commit({int(b): e for b, e
-                          in m["bucket_epoch"].items()}, epoch_id)
-            return {"n_buckets_rewritten": 0, "buckets": [],
-                    "n_new_vertices": 0}
 
         cur = self._read(buckets=set(affected))   # partition-pruned
         self._pruned_input_files = cur.inputFiles()   # test hook
-        rows = cur if mapping is None else _apply_mapping(cur, mapping)
-        rows = rows.unionByName(newv.select(ID, "comp"))
+        rows = _apply_mapping(cur, mapping).unionByName(
+            newv.select(ID, "comp"))
         got = set(self._write_epoch(rows, epoch_id))
 
         # closure invariant: every materialized bucket was declared
@@ -191,17 +229,40 @@ class BucketedComponentStore:
         # unread bucket can be silently superseded
         stray = got - set(affected)
         assert not stray, f"rows landed in undeclared buckets {stray}"
-        m = self._read_manifest()
-        bucket_epoch = {int(b): e for b, e in m["bucket_epoch"].items()}
         for b in affected:
             if b in got:
-                bucket_epoch[b] = epoch_id
+                bucket_epoch[b] = [epoch_id]   # compacted
             else:                 # every row merged away: drop bucket
                 bucket_epoch.pop(b, None)
         self._commit(bucket_epoch, epoch_id)
         return {"n_buckets_rewritten": len(got),
                 "buckets": sorted(got),
+                "n_delta_buckets": 0,
                 "n_new_vertices": newv.count()}
+
+    def compact(self, max_leaves: int = 8) -> int:
+        """Maintenance pass: rewrite every bucket whose leaf list
+        exceeds ``max_leaves`` down to a single leaf, bounding the
+        LSM-lite delta growth between merge folds.  Compaction leaves
+        carry a ``c<k>`` epoch tag so they never consume (or collide
+        with) a stream epoch id and the replay gate is untouched.
+        -> number of buckets compacted."""
+        m = self._read_manifest()
+        if m is None:
+            return 0
+        be = self._bucket_epochs()
+        todo = {b for b, es in be.items() if len(es) > max_leaves}
+        if not todo:
+            return 0
+        k = int(m.get("compactions", 0)) + 1
+        tag = f"c{k}"
+        rows = self._read(buckets=todo)
+        got = set(self._write_epoch(rows, tag))
+        assert got == todo, (got, todo)   # every listed leaf has rows
+        for b in todo:
+            be[b] = [tag]
+        self._commit(be, int(m["epoch"]), compactions=k)
+        return len(todo)
 
     def vacuum(self) -> int:
         """Delete superseded epoch/bucket directories (anything the
@@ -209,12 +270,13 @@ class BucketedComponentStore:
         m = self._read_manifest()
         if m is None:
             return 0
-        live = {(int(e), int(b)) for b, e in m["bucket_epoch"].items()}
+        live = {(str(e), b) for b, es in self._bucket_epochs().items()
+                for e in es}
         removed = 0
         for ed in os.listdir(self.path):
             if not ed.startswith("epoch="):
                 continue
-            e = int(ed.split("=", 1)[1])
+            e = ed.split("=", 1)[1]
             edir = os.path.join(self.path, ed)
             for bd in os.listdir(edir):
                 if bd.startswith("bucket=") and \

@@ -94,9 +94,9 @@ def test_fold_reads_and_writes_only_affected_buckets(spark, seeded):
     # untouched epoch-0 files byte-stable AND still the manifest's
     # current version for their buckets
     manifest = json.load(open(store._manifest_path()))
-    for b, e in manifest["bucket_epoch"].items():
+    for b, es in manifest["bucket_epoch"].items():
         if int(b) not in touched:
-            assert e == 0, f"untouched bucket {b} re-pointed"
+            assert es == [0], f"untouched bucket {b} re-pointed"
     for p, mt in before.items():
         assert os.path.getmtime(p) == mt, f"epoch-0 file rewritten: {p}"
 
@@ -130,6 +130,77 @@ def test_replay_gate_and_noop_batch(spark, seeded):
     assert stats["n_buckets_rewritten"] == 0
     assert store.committed_epoch() == 2
     assert _state_dict(store) == snap
+
+
+def test_arrival_only_fold_appends_delta_leaves(spark, seeded):
+    """A batch of brand-new vertices (no relabels) must not read or
+    rewrite any existing bucket: zero rewrites, delta leaves appended,
+    and the next MERGE fold compacts base + deltas back to one leaf —
+    state exact throughout."""
+    store, base = seeded
+    pre = json.load(open(store._manifest_path()))["bucket_epoch"]
+    arrivals = [(1000 + i, 1001 + i) for i in range(0, 10, 2)]
+    stats = store.apply_batch(_edges(spark, arrivals), epoch_id=1)
+    assert stats["n_buckets_rewritten"] == 0
+    assert stats["n_delta_buckets"] > 0
+    assert store._pruned_input_files == []       # nothing read back
+    assert _state_dict(store) == _full_wcc(spark, base + arrivals)
+    post = json.load(open(store._manifest_path()))["bucket_epoch"]
+    appended = 0
+    for b, es in post.items():
+        prefix = pre.get(b, [])
+        assert es == prefix or es == prefix + [1], \
+            f"bucket {b}: {prefix} -> {es} is not an append"
+        appended += len(es) - len(prefix)
+    assert appended == stats["n_delta_buckets"]
+    for b in pre:                                 # nothing dropped
+        assert b in post
+
+    # a second arrival batch appends again (lists can grow past 2)
+    arrivals2 = [(1100 + i, 1101 + i) for i in range(0, 6, 2)]
+    s2 = store.apply_batch(_edges(spark, arrivals2), epoch_id=2)
+    assert s2["n_buckets_rewritten"] == 0 and s2["n_delta_buckets"] > 0
+    assert _state_dict(store) == _full_wcc(spark, base + arrivals
+                                           + arrivals2)
+
+    # a merge that relabels stored rows compacts every affected
+    # bucket's leaf list to exactly [3]
+    merge = [(1000, 1002)]
+    s3 = store.apply_batch(_edges(spark, merge), epoch_id=3)
+    assert s3["n_buckets_rewritten"] > 0
+    assert _state_dict(store) == _full_wcc(spark, base + arrivals
+                                           + arrivals2 + merge)
+    final = json.load(open(store._manifest_path()))["bucket_epoch"]
+    for b in s3["buckets"]:
+        assert final[str(b)] == [3], f"bucket {b} not compacted"
+
+
+def test_compact_bounds_delta_growth(spark, seeded):
+    """Repeated arrival folds grow a bucket's leaf list; compact()
+    collapses every list over the threshold to one tagged leaf,
+    without changing the state, consuming a stream epoch id, or
+    breaking vacuum."""
+    store, base = seeded
+    acc = list(base)
+    for e in range(1, 5):                    # 4 arrival-only folds
+        arr = [(10_000 * e + 2 * j, 10_000 * e + 2 * j + 1)
+               for j in range(6)]
+        stats = store.apply_batch(_edges(spark, arr), epoch_id=e)
+        assert stats["n_buckets_rewritten"] == 0
+        acc += arr
+    want = _full_wcc(spark, acc)
+    assert _state_dict(store) == want
+    assert store.compact(max_leaves=2) > 0
+    manifest = json.load(open(store._manifest_path()))
+    assert all(len(es) <= 2 for es in manifest["bucket_epoch"].values())
+    assert store.committed_epoch() == 4      # no stream id consumed
+    assert _state_dict(store) == want        # state unchanged
+    assert store.compact(max_leaves=2) == 0  # idempotent
+    store.vacuum()
+    assert _state_dict(store) == want
+    # the store still folds after compaction
+    store.apply_batch(_edges(spark, [(0, 100)]), epoch_id=5)
+    assert _state_dict(store) == _full_wcc(spark, acc + [(0, 100)])
 
 
 def test_vacuum_removes_only_superseded(spark, seeded):

@@ -14,11 +14,16 @@ same harness:
   stream: a crawl frontier, a community's activity burst).  Expected:
   a few buckets rewritten out of hundreds, durable MB per fold
   collapsing accordingly.
-* profile ``scattered`` — the adversarial floor: every merge edge
-  picks two uniformly random components, so ~2·|batch| distinct
-  labels hash into (nearly) every bucket and the store degenerates to
-  a full rewrite plus bucketing overhead.  Reported as the honest
-  worst case.
+* profile ``scattered`` — the adversarial floor for MERGES: every
+  merge edge picks two uniformly random components, so ~2·|batch|
+  distinct labels hash into (nearly) every bucket and the store
+  degenerates to a full rewrite plus bucketing overhead.  Reported as
+  the honest worst case.
+* profile ``arrivals`` — brand-new vertex pairs only: no stored row
+  relabels, so the store's LSM-lite delta path appends O(|batch|)
+  bytes without reading or rewriting ANY bucket, regardless of how
+  the new labels hash (this kills the scattered floor for the
+  arrival half of a workload; the merge half keeps it).
 
 Both legs seed the same converged state (``n`` vertices in components
 of ``comp_size``, comp = min member id — a valid converged label
@@ -67,12 +72,18 @@ def dir_stats(path: str) -> tuple[int, float]:
 def make_batches(spark, profile: str, n: int, b: int, k: int,
                  comp_size: int) -> list:
     """``clustered``: merges and arrivals inside 20 components per
-    batch; ``scattered``: uniformly random endpoints."""
+    batch; ``scattered``: uniformly random endpoints; ``arrivals``:
+    brand-new vertex pairs only (no stored row relabels — the store's
+    LSM-lite delta path)."""
     rng = random.Random(11)
     batches = []
     for i in range(k):
         rows = []
-        if profile == "clustered":
+        if profile == "arrivals":
+            base = n + (i + 1) * 100 * b
+            rows = [(base + 2 * j, base + 2 * j + 1)
+                    for j in range(b // 2)]
+        elif profile == "clustered":
             comps = [rng.randrange(n // comp_size) * comp_size
                      for _ in range(20)]
             for _ in range(b // 2):
@@ -132,6 +143,7 @@ def run_profile(spark, scratch: str, profile: str, state, n: int, b: int,
         files, mb = dir_stats(os.path.join(bk_path, f"epoch={i + 1}"))
         legB.append({"fold_sec": sec,
                      "buckets_rewritten": stats["n_buckets_rewritten"],
+                     "delta_buckets": stats.get("n_delta_buckets", 0),
                      "files": files, "mb_written": mb})
     res["bucketed"] = legB
 
@@ -192,7 +204,7 @@ def main() -> None:
            "loadavg_at_launch": [round(x, 2) for x in os.getloadavg()],
            "profiles": {}}
     out["durable_dir"] = durable
-    for profile in ("clustered", "scattered"):
+    for profile in ("clustered", "scattered", "arrivals"):
         out["profiles"][profile] = run_profile(
             spark, durable, profile, state, n, b, k, n_buckets,
             comp_size, cpus)
