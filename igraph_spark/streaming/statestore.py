@@ -28,11 +28,15 @@ COMPONENTS instead:
   whose rows all merged away is dropped from the manifest (its stale
   directory is superseded, not read);
 * arrivals-only folds (new vertices, nothing relabeled) skip the
-  read-rewrite entirely: the new rows land as a DELTA leaf appended
-  to their buckets' manifest lists (LSM-lite), so a pure-arrival
-  batch costs O(|batch|) durable bytes no matter how its labels hash.
-  The next merge fold touching a bucket compacts its base + deltas
-  back to one leaf.
+  read-rewrite entirely: the new rows land in ONE unpartitioned
+  SHARED delta leaf (``shared=<epoch>``, LSM-lite) — O(|batch|)
+  durable bytes AND O(1) files, no matter how the labels hash (a
+  per-bucket delta layout would write B files per arrival batch:
+  pathological at B = 65536).  Every merge fold consumes ALL shared
+  leaves — they are arrival-batch-sized — folding rows of affected
+  buckets into the compaction output and rewriting the remainder as
+  one fresh shared leaf; ``compact()`` folds them fully back into
+  bucket leaves.
 
 At 10^9 vertices and B = 4096, a 10k-edge batch touching ~10
 components rewrites ~10 buckets (~250k rows each) instead of 10^9
@@ -88,21 +92,42 @@ class BucketedComponentStore:
             return json.load(fh)
 
     def _commit(self, bucket_epoch: dict, epoch: int,
-                compactions: int | None = None) -> None:
+                compactions: int | None = None,
+                shared: list | None = None) -> None:
         """``bucket_epoch``: {bucket: [epoch, ...]} — each bucket's
         rows are the UNION of its listed epoch leaves (a compacted
         base plus any arrival deltas, oldest first)."""
         if compactions is None:
             m = self._read_manifest()
             compactions = 0 if m is None else int(m.get("compactions", 0))
+        if shared is None:
+            m = self._read_manifest()
+            shared = [] if m is None else list(m.get("shared", []))
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"epoch": epoch, "n_buckets": self.n_buckets,
                        "compactions": compactions,
+                       "shared": list(shared),
                        "bucket_epoch": {str(b): list(es) for b, es
                                         in sorted(bucket_epoch.items())}},
                       fh)
         os.replace(tmp, self._manifest_path())
+
+    def _shared_tags(self) -> list:
+        m = self._read_manifest()
+        return [] if m is None else list(m.get("shared", []))
+
+    def _shared_dir(self, tag) -> str:
+        return os.path.join(self.path, f"shared={tag}")
+
+    def _read_shared(self) -> DataFrame | None:
+        """Union of the shared arrival-delta leaves, or None if none."""
+        tags = self._shared_tags()
+        if not tags:
+            return None
+        return (self.spark.read
+                .parquet(*[self._shared_dir(t) for t in tags])
+                .select(ID, "comp"))
 
     def _bucket_epochs(self) -> dict:
         """Leaf epochs per bucket; stream epochs are ints, compaction
@@ -138,8 +163,11 @@ class BucketedComponentStore:
                 .parquet(*leaves).select(ID, "comp"))
 
     def state(self) -> DataFrame:
-        """The committed ``(id, comp)`` table (all current buckets)."""
-        return self._read()
+        """The committed ``(id, comp)`` table (all current bucket
+        leaves plus any shared arrival-delta leaves)."""
+        base = self._read()
+        sh = self._read_shared()
+        return base if sh is None else base.unionByName(sh)
 
     # -------------------------------------------------------------- writes
 
@@ -192,24 +220,30 @@ class BucketedComponentStore:
         if stored is None or stored.isEmpty():
             # arrivals-only fold (incl. new-new merges): no stored row
             # relabels, so nothing is read or rewritten — the new rows
-            # land as a DELTA leaf appended to their buckets' manifest
-            # lists (LSM-lite).  Durable bytes are O(|batch|)
-            # regardless of which buckets the new labels hash into.
-            got = set(self._write_epoch(newv.select(ID, "comp"),
-                                        epoch_id))
+            # land in ONE unpartitioned SHARED delta leaf (LSM-lite):
+            # O(|batch|) durable bytes and O(1) files, however the
+            # labels hash.
+            n_new = newv.count()
+            shared = self._shared_tags()
+            if n_new:
+                (newv.select(ID, "comp").coalesce(1)
+                 .write.mode("overwrite")
+                 .parquet(self._shared_dir(epoch_id)))
+                shared = shared + [epoch_id]
             self._pruned_input_files = []
-            for b in got:
-                bucket_epoch.setdefault(b, []).append(epoch_id)
-            self._commit(bucket_epoch, epoch_id)
+            self._commit(bucket_epoch, epoch_id, shared=shared)
             return {"n_buckets_rewritten": 0, "buckets": [],
-                    "n_delta_buckets": len(got),
-                    "n_new_vertices": newv.count()}
+                    "shared_delta_rows": n_new,
+                    "n_new_vertices": n_new}
 
         # merge fold: affected buckets, closed under row movement —
         # every bucket a STORED row can leave (old labels present in
         # state) or enter (their new labels, plus the new rows' final
-        # labels) is COMPACTED this epoch: all its leaves (base +
-        # deltas) read back pruned, relabeled, rewritten as one leaf.
+        # labels) is COMPACTED this epoch: all its leaves read back
+        # pruned, relabeled, rewritten as one leaf.  The shared
+        # arrival leaves (each batch-sized) are consumed whole: their
+        # affected rows fold into the compaction output, the rest are
+        # rewritten as one fresh shared leaf.
         aff_lbl = (newv.select(F.col("comp").alias("l"))
                    .unionByName(stored.select(F.col("old_lbl").alias("l")))
                    .unionByName(stored.select(F.col("new_lbl").alias("l"))))
@@ -222,11 +256,29 @@ class BucketedComponentStore:
         self._pruned_input_files = cur.inputFiles()   # test hook
         rows = _apply_mapping(cur, mapping).unionByName(
             newv.select(ID, "comp"))
-        got = set(self._write_epoch(rows, epoch_id))
 
+        shared = []
+        sh = self._read_shared()
+        if sh is not None:
+            shb = (_apply_mapping(sh, mapping)
+                   .withColumn("b", _bucket(F.col("comp"),
+                                            self.n_buckets))
+                   .localCheckpoint(eager=True))
+            rows = rows.unionByName(
+                shb.where(F.col("b").isin(affected)).select(ID, "comp"))
+            sh_out = (shb.where(~F.col("b").isin(affected))
+                      .select(ID, "comp"))
+            if not sh_out.isEmpty():
+                tag = f"{epoch_id}m"
+                (sh_out.coalesce(1).write.mode("overwrite")
+                 .parquet(self._shared_dir(tag)))
+                shared = [tag]
+
+        got = set(self._write_epoch(rows, epoch_id))
         # closure invariant: every materialized bucket was declared
-        # affected (its rows' labels all came from aff_lbl), so no
-        # unread bucket can be silently superseded
+        # affected (its rows' labels all came from aff_lbl or were
+        # filtered to affected buckets), so no unread bucket can be
+        # silently superseded
         stray = got - set(affected)
         assert not stray, f"rows landed in undeclared buckets {stray}"
         for b in affected:
@@ -234,35 +286,54 @@ class BucketedComponentStore:
                 bucket_epoch[b] = [epoch_id]   # compacted
             else:                 # every row merged away: drop bucket
                 bucket_epoch.pop(b, None)
-        self._commit(bucket_epoch, epoch_id)
+        self._commit(bucket_epoch, epoch_id, shared=shared)
         return {"n_buckets_rewritten": len(got),
                 "buckets": sorted(got),
-                "n_delta_buckets": 0,
+                "shared_delta_rows": 0,
                 "n_new_vertices": newv.count()}
 
-    def compact(self, max_leaves: int = 8) -> int:
-        """Maintenance pass: rewrite every bucket whose leaf list
-        exceeds ``max_leaves`` down to a single leaf, bounding the
-        LSM-lite delta growth between merge folds.  Compaction leaves
-        carry a ``c<k>`` epoch tag so they never consume (or collide
-        with) a stream epoch id and the replay gate is untouched.
-        -> number of buckets compacted."""
+    def compact(self, max_shared: int = 8, max_leaves: int = 4) -> int:
+        """Maintenance pass, two jobs in one tagged write: (a) fold
+        the shared arrival-delta leaves back into bucket leaves once
+        more than ``max_shared`` have accumulated, and (b) collapse
+        any bucket whose leaf list outgrew ``max_leaves`` (appending
+        compactions would otherwise regrow lists one leaf per pass) —
+        bounding LSM-lite growth between merge folds, which consume
+        both anyway.  Compaction leaves carry a ``c<k>`` epoch tag so
+        they never consume (or collide with) a stream epoch id and
+        the replay gate is untouched.  -> shared leaves folded +
+        buckets collapsed."""
         m = self._read_manifest()
         if m is None:
             return 0
+        tags = self._shared_tags()
         be = self._bucket_epochs()
-        todo = {b for b, es in be.items() if len(es) > max_leaves}
-        if not todo:
+        fold_shared = len(tags) > max_shared
+        over = {b for b, es in be.items() if len(es) > max_leaves}
+        if not fold_shared and not over:
             return 0
+        rows = None
+        if over:
+            rows = self._read(buckets=over)
+        if fold_shared:
+            sh = self._read_shared()
+            rows = sh if rows is None else rows.unionByName(sh)
         k = int(m.get("compactions", 0)) + 1
         tag = f"c{k}"
-        rows = self._read(buckets=todo)
         got = set(self._write_epoch(rows, tag))
-        assert got == todo, (got, todo)   # every listed leaf has rows
-        for b in todo:
-            be[b] = [tag]
-        self._commit(be, int(m["epoch"]), compactions=k)
-        return len(todo)
+        for b in got:
+            if b in over:
+                be[b] = [tag]                 # collapsed
+            else:
+                # shared rows are ADDITIONAL rows for their buckets —
+                # append the compaction leaf, never replace the base
+                be.setdefault(b, []).append(tag)
+        for b in over - got:                  # read but nothing left
+            be.pop(b, None)
+        self._commit(be, int(m["epoch"]), compactions=k,
+                     shared=self._shared_tags() if not fold_shared
+                     else [])
+        return (len(tags) if fold_shared else 0) + len(over)
 
     def vacuum(self) -> int:
         """Delete superseded epoch/bucket directories (anything the
@@ -285,6 +356,12 @@ class BucketedComponentStore:
                     removed += 1
             if not any(d.startswith("bucket=") for d in os.listdir(edir)):
                 shutil.rmtree(edir)
+        live_shared = {str(t) for t in self._shared_tags()}
+        for sd in os.listdir(self.path):
+            if sd.startswith("shared=") and \
+                    sd.split("=", 1)[1] not in live_shared:
+                shutil.rmtree(os.path.join(self.path, sd))
+                removed += 1
         return removed
 
 

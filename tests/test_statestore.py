@@ -142,44 +142,42 @@ def test_arrival_only_fold_appends_delta_leaves(spark, seeded):
     arrivals = [(1000 + i, 1001 + i) for i in range(0, 10, 2)]
     stats = store.apply_batch(_edges(spark, arrivals), epoch_id=1)
     assert stats["n_buckets_rewritten"] == 0
-    assert stats["n_delta_buckets"] > 0
+    assert stats["shared_delta_rows"] == 10
     assert store._pruned_input_files == []       # nothing read back
     assert _state_dict(store) == _full_wcc(spark, base + arrivals)
-    post = json.load(open(store._manifest_path()))["bucket_epoch"]
-    appended = 0
-    for b, es in post.items():
-        prefix = pre.get(b, [])
-        assert es == prefix or es == prefix + [1], \
-            f"bucket {b}: {prefix} -> {es} is not an append"
-        appended += len(es) - len(prefix)
-    assert appended == stats["n_delta_buckets"]
-    for b in pre:                                 # nothing dropped
-        assert b in post
+    m1 = json.load(open(store._manifest_path()))
+    assert m1["bucket_epoch"] == pre             # buckets untouched
+    assert m1["shared"] == [1]                   # one shared leaf
+    assert os.path.isdir(store._shared_dir(1))
 
-    # a second arrival batch appends again (lists can grow past 2)
+    # a second arrival batch appends another shared leaf
     arrivals2 = [(1100 + i, 1101 + i) for i in range(0, 6, 2)]
     s2 = store.apply_batch(_edges(spark, arrivals2), epoch_id=2)
-    assert s2["n_buckets_rewritten"] == 0 and s2["n_delta_buckets"] > 0
+    assert s2["n_buckets_rewritten"] == 0 and s2["shared_delta_rows"] == 6
+    assert json.load(open(store._manifest_path()))["shared"] == [1, 2]
     assert _state_dict(store) == _full_wcc(spark, base + arrivals
                                            + arrivals2)
 
-    # a merge that relabels stored rows compacts every affected
-    # bucket's leaf list to exactly [3]
+    # a merge that relabels stored rows consumes ALL shared leaves:
+    # affected rows fold into the compacted buckets, the remainder is
+    # rewritten as one fresh shared leaf — no row lost or duplicated
     merge = [(1000, 1002)]
     s3 = store.apply_batch(_edges(spark, merge), epoch_id=3)
     assert s3["n_buckets_rewritten"] > 0
     assert _state_dict(store) == _full_wcc(spark, base + arrivals
                                            + arrivals2 + merge)
-    final = json.load(open(store._manifest_path()))["bucket_epoch"]
+    m3 = json.load(open(store._manifest_path()))
+    assert m3["shared"] == ["3m"]                # the rewritten rest
     for b in s3["buckets"]:
-        assert final[str(b)] == [3], f"bucket {b} not compacted"
+        assert m3["bucket_epoch"][str(b)] == [3], f"bucket {b}"
 
 
 def test_compact_bounds_delta_growth(spark, seeded):
-    """Repeated arrival folds grow a bucket's leaf list; compact()
-    collapses every list over the threshold to one tagged leaf,
-    without changing the state, consuming a stream epoch id, or
-    breaking vacuum."""
+    """Repeated arrival folds accumulate shared leaves; compact()
+    folds them back into bucket leaves (appending, never replacing a
+    base leaf) without changing the state, consuming a stream epoch
+    id, or breaking vacuum — and repeated compactions collapse any
+    bucket list that outgrows max_leaves."""
     store, base = seeded
     acc = list(base)
     for e in range(1, 5):                    # 4 arrival-only folds
@@ -190,16 +188,32 @@ def test_compact_bounds_delta_growth(spark, seeded):
         acc += arr
     want = _full_wcc(spark, acc)
     assert _state_dict(store) == want
-    assert store.compact(max_leaves=2) > 0
+    assert len(json.load(open(store._manifest_path()))["shared"]) == 4
+    assert store.compact(max_shared=2) > 0
     manifest = json.load(open(store._manifest_path()))
-    assert all(len(es) <= 2 for es in manifest["bucket_epoch"].values())
+    assert manifest["shared"] == []          # all folded in
     assert store.committed_epoch() == 4      # no stream id consumed
     assert _state_dict(store) == want        # state unchanged
-    assert store.compact(max_leaves=2) == 0  # idempotent
+    assert store.compact(max_shared=2) == 0  # idempotent
     store.vacuum()
     assert _state_dict(store) == want
+    assert not any(d.startswith("shared=")   # shared dirs reclaimed
+                   for d in os.listdir(store.path))
+    # a bucket list grown past max_leaves collapses on the next pass
+    for e in range(5, 10):
+        arr = [(10_000 * e + 2 * j, 10_000 * e + 2 * j + 1)
+               for j in range(4)]
+        store.apply_batch(_edges(spark, arr), epoch_id=e)
+        acc += arr
+        store.compact(max_shared=0)          # force a fold each time
+    want = _full_wcc(spark, acc)
+    assert _state_dict(store) == want
+    assert store.compact(max_shared=99, max_leaves=1) > 0
+    manifest = json.load(open(store._manifest_path()))
+    assert all(len(es) <= 2 for es in manifest["bucket_epoch"].values())
+    assert _state_dict(store) == want
     # the store still folds after compaction
-    store.apply_batch(_edges(spark, [(0, 100)]), epoch_id=5)
+    store.apply_batch(_edges(spark, [(0, 100)]), epoch_id=10)
     assert _state_dict(store) == _full_wcc(spark, acc + [(0, 100)])
 
 

@@ -140,11 +140,18 @@ def run_profile(spark, scratch: str, profile: str, state, n: int, b: int,
         t = time.monotonic()
         stats = store.apply_batch(batch, epoch_id=i + 1)
         sec = round(time.monotonic() - t, 2)
-        files, mb = dir_stats(os.path.join(bk_path, f"epoch={i + 1}"))
+        files = mb = 0
+        for d in (f"epoch={i + 1}", f"shared={i + 1}",
+                  f"shared={i + 1}m"):     # this fold's leaves only
+            p = os.path.join(bk_path, d)
+            if os.path.isdir(p):
+                f2, m2 = dir_stats(p)
+                files += f2
+                mb += m2
         legB.append({"fold_sec": sec,
                      "buckets_rewritten": stats["n_buckets_rewritten"],
-                     "delta_buckets": stats.get("n_delta_buckets", 0),
-                     "files": files, "mb_written": mb})
+                     "shared_delta_rows": stats.get("shared_delta_rows", 0),
+                     "files": files, "mb_written": round(mb, 2)})
     res["bucketed"] = legB
 
     # ---- exactness: both pipelines end in the same state ------------------
