@@ -211,7 +211,9 @@ def main() -> None:
            "loadavg_at_launch": [round(x, 2) for x in os.getloadavg()],
            "profiles": {}}
     out["durable_dir"] = durable
-    for profile in ("clustered", "scattered", "arrivals"):
+    profiles = tuple(os.environ.get(
+        "STATESTORE_PROFILES", "clustered,scattered,arrivals").split(","))
+    for profile in profiles:
         out["profiles"][profile] = run_profile(
             spark, durable, profile, state, n, b, k, n_buckets,
             comp_size, cpus)
