@@ -50,13 +50,30 @@ g = zipf_skew(spark, n=N_VERT, m=m, seed=42, directed=True).hash_partition(PARTS
 m_actual = g.ecount()
 pagerank(g, tol=0.0, max_iter=2, check_every=2, num_partitions=PARTS,
          kernel=kernel).count()  # JIT warmup
+
+
+def cpu_ticks():
+    # aggregate /proc/stat cpu line: user nice system idle iowait irq
+    # softirq steal ... — steal is time the hypervisor ran SOMEONE
+    # ELSE while this guest had runnable vCPUs: the direct measurement
+    # of the host-neighbor contention the pair series keeps inferring
+    # from throughput swings.
+    with open("/proc/stat") as fh:
+        f = [int(x) for x in fh.readline().split()[1:]]
+    return sum(f), (f[7] if len(f) > 7 else 0)
+
+
+tot0, st0 = cpu_ticks()
 t0 = time.monotonic()
 pagerank(g, tol=0.0, max_iter=steps, check_every=5, num_partitions=PARTS,
          kernel=kernel).count()
 dt = time.monotonic() - t0
+tot1, st1 = cpu_ticks()
+steal_pct = round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 2)
 print(json.dumps({{"cores": cores, "sec": dt, "edges": m_actual,
                    "kernel": kernel,
                    "steps": steps,
+                   "steal_pct": steal_pct,
                    "edges_per_sec_per_superstep": m_actual * steps / dt}}))
 spark.stop()
 """
@@ -92,6 +109,8 @@ def main() -> None:
                    "edges": r8["edges"],
                    "steps": steps, "sec_lo": r8["sec"],
                    "sec_hi": r32["sec"], "thr_lo": thr8, "thr_hi": thr32,
+                   "steal_pct_lo": r8.get("steal_pct"),
+                   "steal_pct_hi": r32.get("steal_pct"),
                    "eff": eff}, fh, indent=1)
     print(json.dumps({"pair": [n_lo, n_hi], "eff": round(eff, 3),
                       "thr_lo": round(thr8), "thr_hi": round(thr32),
