@@ -343,13 +343,21 @@ def ngram_jaccard_pairs(docs: DataFrame, col: str = "text", n: int = 5,
 def near_dup_clusters(docs: DataFrame, col: str = "text",
                       num_hashes: int = 64, bands: int = 16,
                       shingle: int = 5, min_jaccard: float = 0.6,
-                      seed: int = 42, hash: str = "xxhash64") -> DataFrame:
+                      seed: int = 42, hash: str = "xxhash64",
+                      pairs: DataFrame | None = None) -> DataFrame:
     """Near-duplicate RESOLUTION -> DataFrame(canonical, members): the
     step after detection a training-data pipeline actually ships —
     connected components over the verified near-dup pair graph, each
     cluster keyed by its smallest doc_id (the member to keep; all
     others are the drop set).  Docs with no near-duplicate do not
     appear (they are their own cluster).
+
+    `pairs` short-circuits detection: a caller who already holds the
+    verified pair DataFrame (columns a, b — e.g. the
+    minhash_verified_pairs output it materialized for reporting)
+    passes it here and pays only the component closure.  The 1M-doc
+    soak measured the one-call convenience path double-paying ~150 s
+    of verify (BENCH/soak_dedup_r5.json); this is the escape hatch.
 
     Scale shape: the pair graph is the banded-LSH + exact-verify
     output (no all-pairs anywhere), and the component closure is the
@@ -358,9 +366,11 @@ def near_dup_clusters(docs: DataFrame, col: str = "text",
     from igraph_spark.algorithms.components import connected_components
     from igraph_spark.graph import Graph
 
-    pairs = minhash_verified_pairs(
-        docs, col=col, num_hashes=num_hashes, bands=bands,
-        shingle=shingle, min_jaccard=min_jaccard, seed=seed, hash=hash)
+    if pairs is None:
+        pairs = minhash_verified_pairs(
+            docs, col=col, num_hashes=num_hashes, bands=bands,
+            shingle=shingle, min_jaccard=min_jaccard, seed=seed,
+            hash=hash)
     g = Graph(pairs.select(F.col("a").alias("src"),
                            F.col("b").alias("dst")),
               directed=False)

@@ -89,6 +89,21 @@ def test_ngram_jaccard(spark, docs):
     assert 0.5 < pairs[(0, 2)] < 1.0
 
 
+def test_near_dup_clusters_pairs_passthrough(spark, docs):
+    # passing the pre-verified pair DataFrame must give the same
+    # clusters as the one-call path (which re-derives it internally)
+    d = docs.where("doc_id <> 5")
+    pairs = dedup.minhash_verified_pairs(d, min_jaccard=0.5)
+    one_call = dedup.near_dup_clusters(d, min_jaccard=0.5)
+    reused = dedup.near_dup_clusters(d, min_jaccard=0.5, pairs=pairs)
+    assert sorted(map(tuple, one_call.collect())) == \
+        sorted(map(tuple, reused.collect()))
+    # and the cluster content is the planted one: {0,1,2} keyed by 0
+    rows = one_call.collect()
+    assert len(rows) == 1
+    assert rows[0]["canonical"] == 0 and rows[0]["members"] == 3
+
+
 def test_ann_bruteforce(spark):
     rows = [(i, [float(i == j) + 0.1 * ((i * 7 + j) % 3)
                  for j in range(4)], 0) for i in range(30)]
