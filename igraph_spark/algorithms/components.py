@@ -16,7 +16,7 @@ member id); tests compare partitions (SURVEY §2.0 parity strategy).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from igraph_spark.graph import Graph, SRC, DST, ID
@@ -26,68 +26,98 @@ from igraph_spark.checkpointing import SuperstepRunner
 def _dense_relabel(state: DataFrame, label_col: str = "comp",
                    out_col: str = "component") -> DataFrame:
     """Map raw labels (= component min id) to 0-based dense ranks in
-    ascending min-id order — igraph's discovery-order labels.  The
-    window runs over the *distinct label table* (size = #components),
-    not over vertices, so the single-partition sort is tiny."""
+    ascending min-id order — igraph's discovery-order labels.
+
+    Scale-safe (round 6): #components is Θ(V) on mostly-disconnected
+    graphs, so the rank is assigned by the range-partitioned
+    dense_rank_map (no single-partition window) and the join
+    broadcasts only below the size threshold (plans/ranking.py)."""
+    from igraph_spark.plans.ranking import dense_rank_map, rank_join
     labels = state.select(label_col).distinct()
-    mapping = labels.select(
-        F.col(label_col),
-        (F.dense_rank().over(Window.orderBy(label_col)) - 1)
-        .cast("long").alias(out_col))
-    return (state.join(F.broadcast(mapping), label_col)
-            .select(ID, out_col))
+    mapping, n = dense_rank_map(labels, label_col, label_col, out_col)
+    return rank_join(state, mapping, n, label_col).select(ID, out_col)
 
 
 def _weak_components_raw(graph: Graph, max_iter: int = 200,
-                         checkpoint_every: int = 5) -> DataFrame:
-    """Fixpoint: comp(v) = min over {comp(v)} ∪ {comp(u): u ~ v}, with a
-    pointer-jumping compression step (comp(v) <- prev_comp(comp(v)))
-    each round, giving near-logarithmic convergence on high-diameter
-    graphs (plain hash-min needs O(diameter) rounds).
+                         checkpoint_every: int = 5,
+                         jump_every: int = 3) -> DataFrame:
+    """Fixpoint: comp(v) = min over {comp(v)} ∪ {comp(u): u ~ v}.
 
-    One Spark action per round: the old label is carried through the
-    plan so the changed-count fuses into the same aggregate that
-    materializes the new state (no separate join against the old
-    state).  Returns DataFrame(id, comp) where comp = component min id.
+    Round-6 shape (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    exchanges):
+
+    * **Frontier messaging**: only vertices whose label CHANGED last
+      round rebroadcast.  Exact: labels only decrease, and a label is
+      rebroadcast on every decrease, so every neighbor has already
+      folded in any label that is not rebroadcast this round.  The
+      O(m) join probe emits only frontier-incident edges, and the
+      groupBy(dst) exchange shrinks with the frontier instead of
+      carrying O(V) messages every round.
+    * **State stays hash(id)-partitioned** through every messaging
+      round: frontier (a filter of state) joins the src-partitioned
+      sym table with zero exchange, and nbrmin (hash(dst) from its
+      aggregation) joins back with zero exchange — the only per-round
+      exchange is the partial-aggregated message flow.
+    * **Pointer jumping** (comp(v) <- prev_comp(comp(v)), near-log
+      convergence on high-diameter graphs) runs every ``jump_every``
+      rounds instead of every round: its join is keyed on the LABEL,
+      which costs two O(V) exchanges (out to hash(comp), back to
+      hash(id)) — paying that only periodically keeps the common
+      round at one exchange while convergence stays geometric.
+    * One Spark job per round: the runner's lazy localCheckpoint
+      (fused_eval) is materialized by the changed-count aggregate.
+
+    Returns DataFrame(id, comp) where comp = component min id.
     """
     spark = graph.edges.sparkSession
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # partition once on the join key (src) and reuse that layout every
-    # superstep — .distinct() leaves the table partitioned on (src,dst),
-    # which would re-exchange all O(2m) rows per round (same fix as the
-    # pagerank link table, pagerank.py)
+    # ONE exchange for the setup: hash-partition the symmetrized view on
+    # src, then dedup (src,dst) inside partitions — hash(src) already
+    # clusters every duplicate, so dropDuplicates adds no exchange
+    # (the old distinct-then-repartition paid two full O(2m) exchanges)
     sym = (graph.sym_edges()
            .where(F.col(SRC) != F.col(DST))
-           .distinct()
            .repartition(num_partitions, SRC)
+           .dropDuplicates([SRC, DST])
            .persist(StorageLevel.MEMORY_AND_DISK))
 
-    runner = SuperstepRunner(spark, checkpoint_every=checkpoint_every)
-    state0 = graph.vertices.select(ID, F.col(ID).alias("comp"))
-    state, start, _ = runner.start(state0, params={"algo": "wcc"})
+    runner = SuperstepRunner(spark, checkpoint_every=checkpoint_every,
+                             fused_eval=True)
+    state0 = graph.vertices.select(ID, F.col(ID).alias("comp"),
+                                   F.lit(True).alias("chg"))
+    state, start, _ = runner.start(state0, params={"algo": "wcc",
+                                                   "state": 2})
 
     for step in range(start, max_iter):
-        nbrmin = (sym.join(state, sym[SRC] == state[ID])
-                  .groupBy(DST).agg(F.min("comp").alias("nbr_comp")))
+        frontier = (state.where(F.col("chg"))
+                    .select(F.col(ID).alias(SRC), F.col("comp").alias("fc")))
+        nbrmin = (sym.join(frontier, SRC)
+                  .groupBy(DST).agg(F.min("fc").alias("nbr_comp")))
         half = (state.join(nbrmin, state[ID] == nbrmin[DST], "left")
                 .select(state[ID], F.col("comp").alias("old"),
                         F.least(F.col("comp"),
                                 F.coalesce("nbr_comp", F.col("comp")))
                         .alias("c1")))
-        # pointer jump through the *cached previous* mapping (labels
-        # only decrease, so prev_comp(c1) is a valid — if slightly
-        # weaker — compression that avoids a self-join on this round's
-        # uncached result)
-        m = state.select(F.col(ID).alias("mid"), F.col("comp").alias("mc"))
-        new = (half.join(m, half["c1"] == m["mid"], "left")
-               .select(half[ID], "old",
-                       F.least("c1", F.coalesce("mc", "c1")).alias("comp")))
-        # advance first (the runner's eager checkpoint is the round's
-        # one full execution), then the changed-count reads the
-        # checkpointed RDD — no separate cache copy
+        if jump_every and (step - start) % jump_every == jump_every - 1:
+            # compression round: jump through the previous mapping,
+            # then restore the hash(id) layout the messaging rounds
+            # rely on (the jump join is keyed on the label)
+            m = state.select(F.col(ID).alias("mid"),
+                             F.col("comp").alias("mc"))
+            new = (half.join(m, half["c1"] == m["mid"], "left")
+                   .select(half[ID], "old",
+                           F.least("c1", F.coalesce("mc", "c1"))
+                           .alias("comp"))
+                   .repartition(num_partitions, ID))
+        else:
+            new = half.select(ID, "old", F.col("c1").alias("comp"))
+        new = new.select(ID, "comp",
+                         (F.col("comp") < F.col("old")).alias("chg"))
+        # advance registers a LAZY checkpoint; the changed-count
+        # aggregate right after is the round's one materializing job
         state = runner.advance(step, new, metrics={})
         changed = int(state.agg(
-            F.sum((F.col("comp") != F.col("old")).cast("long"))).first()[0] or 0)
+            F.sum(F.col("chg").cast("long"))).first()[0] or 0)
         runner.update_metrics(step, {"changed": changed})
         if changed == 0:
             break

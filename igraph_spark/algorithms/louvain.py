@@ -28,7 +28,7 @@ must reach reference-grade values on the fixture graphs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from igraph_spark.graph import Graph, SRC, DST, WEIGHT, ID
@@ -141,9 +141,12 @@ def multilevel_communities(graph: Graph, max_levels: int = 10,
     if not m_total:
         # edgeless graph: every vertex is its own singleton community
         # (igraph gives isolated vertices singleton labels, not "none")
-        return graph.vertices.select(
-            ID, (F.dense_rank().over(Window.orderBy(ID)) - 1)
-            .cast("long").alias("label"))
+        # — ranked scale-safely (V singleton labels is the worst case
+        # of exactly the funnel plans/ranking.py exists for)
+        from igraph_spark.plans.ranking import dense_rank_map
+        mapping, _ = dense_rank_map(graph.vertices.select(ID), ID, ID,
+                                    "label")
+        return mapping.select(ID, "label")
 
     # membership(id -> community) composed across levels
     membership = graph.vertices.select(ID, F.col(ID).alias("comm"))
@@ -183,10 +186,9 @@ def multilevel_communities(graph: Graph, max_levels: int = 10,
             break
     edges.unpersist()
 
-    # dense relabel by first appearance in ascending vertex id
+    # dense relabel by first appearance in ascending vertex id —
+    # scale-safe rank + conditional broadcast (plans/ranking.py)
+    from igraph_spark.plans.ranking import dense_rank_map, rank_join
     firsts = membership.groupBy("comm").agg(F.min(ID).alias("first_id"))
-    mapping = firsts.select(
-        "comm", (F.dense_rank().over(Window.orderBy("first_id")) - 1)
-        .cast("long").alias("label"))
-    return (membership.join(F.broadcast(mapping), "comm")
-            .select(ID, "label"))
+    mapping, n = dense_rank_map(firsts, "comm", "first_id", "label")
+    return rank_join(membership, mapping, n, "comm").select(ID, "label")

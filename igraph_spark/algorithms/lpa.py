@@ -22,7 +22,7 @@ vertex id (community.c:2323-2342); never-labeled vertices keep -1.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from igraph_spark.graph import Graph, SRC, DST, WEIGHT, ID
@@ -84,6 +84,7 @@ def label_propagation(graph: Graph, weights: bool | None = None,
     # partition once on the per-sweep join key and reuse the layout every
     # round (otherwise each sweep re-exchanges the whole incidence table)
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    inc_half: list[DataFrame] = []
     if kernel == "csr":
         from igraph_spark.plans.csr import csr_label_tally, with_block_key
         inc = (with_block_key(inc.select(SRC, DST,
@@ -92,8 +93,20 @@ def label_propagation(graph: Graph, weights: bool | None = None,
                .repartition(num_partitions, "pk")
                .persist(StorageLevel.MEMORY_AND_DISK))
     else:
-        inc = (inc.repartition(num_partitions, SRC)
-               .persist(StorageLevel.MEMORY_AND_DISK))
+        # parity-split incidence (round 6, guide §2.3 — shuffle fewer
+        # bytes): a semi-synchronous sweep only ever CONSUMES tallies
+        # for vertices whose parity matches the round, so edges whose
+        # dst has the other parity contribute nothing that round.
+        # Caching the incidence as two dst-parity halves and joining
+        # only the matching half exactly halves the per-sweep join
+        # output and both tally exchanges, with identical results.
+        pick_dst = (F.pmod(F.col(DST), F.lit(2)) if parity == "id"
+                    else F.pmod(F.xxhash64(DST, F.lit(seed)), F.lit(2)))
+        inc_half = [
+            (inc.where(pick_dst == p)
+             .repartition(num_partitions, SRC)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+            for p in (0, 1)]
 
     labels0 = _labels_df(graph, initial)
     if fixed is None:
@@ -111,7 +124,7 @@ def label_propagation(graph: Graph, weights: bool | None = None,
                   .withColumn("fixed", F.coalesce("_fx", F.lit(False)))
                   .drop("_fx"))
 
-    runner = SuperstepRunner(spark, checkpoint_every=8)
+    runner = SuperstepRunner(spark, checkpoint_every=8, fused_eval=True)
     state, start, _ = runner.start(state0, params={"algo": "lpa", "seed": seed})
 
     stable_rounds = 0
@@ -123,9 +136,10 @@ def label_propagation(graph: Graph, weights: bool | None = None,
                      .withColumnRenamed("label", "nbr_label")
                      .withColumnRenamed("dst", DST))
         else:
-            tally = (inc.join(state.select(F.col(ID).alias(SRC),
-                                           F.col("label").alias("nbr_label")),
-                              SRC)
+            tally = (inc_half[round_parity]
+                     .join(state.select(F.col(ID).alias(SRC),
+                                        F.col("label").alias("nbr_label")),
+                           SRC)
                      .where(F.col("nbr_label").isNotNull())
                      .groupBy(DST, "nbr_label")
                      .agg(F.sum(WEIGHT).alias("w")))
@@ -149,9 +163,8 @@ def label_propagation(graph: Graph, weights: bool | None = None,
                        F.when(updatable, F.col("best")).otherwise(F.col("prev"))
                        .alias("label"),
                        "prev", "fixed"))
-        # advance first (the runner's eager checkpoint is the round's
-        # one full execution), then the changed-count reads the
-        # checkpointed RDD — no separate cache copy
+        # advance registers a LAZY checkpoint (fused_eval); the
+        # changed-count right after is the round's one materializing job
         state = runner.advance(step, new, metrics={})
         changed = int(state.agg(F.sum(
             (~F.col("label").eqNullSafe(F.col("prev"))).cast("long")))
@@ -160,17 +173,20 @@ def label_propagation(graph: Graph, weights: bool | None = None,
         stable_rounds = stable_rounds + 1 if changed == 0 else 0
         if stable_rounds >= 2:  # fixpoint for both parities
             break
-    inc.unpersist()
+    if inc_half:
+        for h in inc_half:
+            h.unpersist()
+    else:
+        inc.unpersist()
 
     # dense relabel by first appearance in ascending vertex id
-    # (community.c:2323-2342); unlabeled -> -1
+    # (community.c:2323-2342); unlabeled -> -1.  Scale-safe rank +
+    # conditional broadcast (plans/ranking.py): #labels can be Θ(V)
+    from igraph_spark.plans.ranking import dense_rank_map, rank_join
     firsts = (state.where(F.col("label").isNotNull())
               .groupBy("label").agg(F.min(ID).alias("first_id")))
-    mapping = firsts.select(
-        "label",
-        (F.dense_rank().over(Window.orderBy("first_id")) - 1)
-        .cast("long").alias("new_label"))
-    out = (state.join(F.broadcast(mapping), "label", "left")
+    mapping, n = dense_rank_map(firsts, "label", "first_id", "new_label")
+    out = (rank_join(state, mapping, n, "label", "left")
            .select(ID, F.coalesce("new_label", F.lit(-1)).alias("label")))
     return out
 

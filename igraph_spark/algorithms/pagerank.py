@@ -22,14 +22,17 @@ backends (power / ARPACK / PRPACK) apply, with its exact conventions:
 Execution shape (SURVEY.md §2.0/§4): the stochastic link table
 ``nw = w/outdeg(src)`` is folded in **once** before the loop, so each
 superstep is exactly one equi-join (state × links) + one hash
-aggregation on ``dst``.  The dangling/teleport mass is a one-row
-aggregate **broadcast-joined into the same plan** — no per-superstep
-driver round-trip, no materialized teleport edges (§4 row 10).  The
-driver only acts every ``check_every`` supersteps to evaluate the
-convergence delta and truncate lineage (localCheckpoint / durable
-checkpoint manifest via SuperstepRunner) — supersteps in between chain
-lazily into one Catalyst plan, which both cuts BSP barriers at scale
-and keeps test latency sane.
+aggregation on ``dst`` — a single O(m) exchange with map-side partial
+sums (PLANS.md §1).  The dangling/teleport mass and the normalization
+total are folded in as **scalar literals refreshed by one fused
+one-row aggregate per superstep** — that aggregate doubles as the
+materializing action for the superstep's lazy localCheckpoint
+(SuperstepRunner ``fused_eval``), so each superstep is exactly one
+Spark job and the only data that ever crosses back to the driver is
+that one row of scalars.  Lineage is truncated every superstep
+(localCheckpoint / durable checkpoint manifest via SuperstepRunner) —
+see checkpointing.py for why per-round truncation beats letting
+supersteps chain lazily between periodic checkpoints.
 
 Convergence: L-inf delta over a ``check_every``-step window < tol.
 With damping d the window delta bounds the distance to the fixpoint by
@@ -157,37 +160,42 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
         outdeg.withColumnRenamed(SRC, ID), ID, "left")
     vinfo = vinfo.withColumn(
         "dangling", F.coalesce(F.col("outdeg"), F.lit(0.0)) == 0.0).drop("outdeg")
+    # uniform reset (the common case) stays a LITERAL in the superstep
+    # expression — no reset column rides the state, which narrows the
+    # per-superstep checkpoint copy; a personalized reset vector is a
+    # real per-vertex column as before
     if reset_df is not None:
         vinfo = (vinfo.join(reset_df, ID, "left")
                  .withColumn("reset", F.coalesce("reset", F.lit(0.0))))
-    else:
-        vinfo = vinfo.withColumn("reset", uniform)
     vinfo = vinfo.repartition(num_partitions, ID).persist()
     vinfo.count()
+    reset_col = F.col("reset") if reset_df is not None else uniform
+    state_cols = ["dangling"] + (["reset"] if reset_df is not None else [])
 
     d, fact = float(damping), 1.0 - float(damping)
     mass = F.when(F.col("dangling"), F.col("pr")).otherwise(F.col("pr") * fact)
 
     runner = SuperstepRunner(spark, run_dir=run_dir,
-                             checkpoint_every=min(check_every, 5))
-    # dangling flag and reset mass ride IN the state (two narrow
-    # columns on the O(V) vector) so each superstep is one join with
-    # the aggregated flows instead of two (vinfo join eliminated from
-    # the hot loop — measured ~25% off the 10-superstep bench leg)
+                             checkpoint_every=min(check_every, 5),
+                             fused_eval=True)
+    # dangling flag (and personalized reset mass) ride IN the state
+    # (narrow columns on the O(V) vector) so each superstep is one join
+    # with the aggregated flows instead of two (vinfo join eliminated
+    # from the hot loop — measured ~25% off the 10-superstep bench leg)
     if init is not None:
         icol = "pagerank" if "pagerank" in init.columns else "pr"
         prev = init.select(ID, F.col(icol).cast("double").alias("pr0"))
         state0 = (vinfo.join(prev, ID, "left")
                   .select(ID, F.coalesce("pr0", uniform).alias("pr"),
-                          "dangling", "reset"))
+                          *state_cols))
     else:
-        state0 = vinfo.select(ID, uniform.alias("pr"), "dangling", "reset")
-    # "state": 2 versions the (id, pr, dangling, reset) schema so a
-    # durable manifest written by the old (id, pr) code never matches
+        state0 = vinfo.select(ID, uniform.alias("pr"), *state_cols)
+    # "state": 3 versions the (id, pr, dangling[, reset]) schema so a
+    # durable manifest written by an older code version never matches
     # on resume (runner.start also column-validates as a backstop)
     state, start, _ = runner.start(
         state0, params={"algo": "pagerank", "damping": d, "tol": tol,
-                        "weighted": use_w, "n": n, "state": 2,
+                        "weighted": use_w, "n": n, "state": 3,
                         "warm": init is not None})
 
     # jump-pool mass + total of the starting state (scalars to the
@@ -216,10 +224,10 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
         # eager checkpoint is the superstep's one full execution; the
         # delta/scalars aggregate then reads the checkpointed RDD.
         new = (state.join(contrib, state[ID] == contrib[DST], "left")
-               .select(state[ID], F.col("dangling"), F.col("reset"),
+               .select(state[ID], *state_cols,
                        F.col("pr").alias("pr_old"),
                        ((F.lit(d) * F.coalesce("flow", F.lit(0.0))
-                         + F.lit(sumfrom) * F.col("reset"))
+                         + F.lit(sumfrom) * reset_col)
                         / F.lit(total)).alias("pr")))
         state = runner.advance(step, new, metrics={})
         row = (state.agg(

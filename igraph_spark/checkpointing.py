@@ -60,14 +60,27 @@ class SuperstepRunner:
     def __init__(self, spark: SparkSession, run_dir: str | None = None,
                  checkpoint_every: int = 5,
                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-                 lineage_fingerprint: bool = False):
+                 lineage_fingerprint: bool = False,
+                 fused_eval: bool = False):
+        """``fused_eval=True`` switches ``advance`` to a LAZY
+        localCheckpoint: the caller's very next action (every BSP loop
+        here runs its convergence aggregate right after ``advance``)
+        materializes the superstep AND truncates lineage in ONE job,
+        instead of an eager-checkpoint job followed by a second
+        cached-scan job.  Contract: the caller MUST run an action on
+        the returned state before building the next superstep on it —
+        otherwise lineage compounds exactly like the pre-round-4 code.
+        Only the non-durable path is fused (a durable checkpoint's
+        parquet write is already the materializing action)."""
         self.spark = spark
         self.run_dir = run_dir
         self.checkpoint_every = max(1, int(checkpoint_every))
         self.storage = storage
         self.lineage_fingerprint = lineage_fingerprint
+        self.fused_eval = bool(fused_eval)
         self.history: list[dict] = []
         self._prev: DataFrame | None = None
+        self._defer_unpersist: DataFrame | None = None
         self._t0 = time.monotonic()
 
     # ------------------------------------------------------------------
@@ -166,10 +179,21 @@ class SuperstepRunner:
             # 10 pagerank supersteps in 29 s vs 44-69 s (and removes
             # the GC amplification that made bench samples swing 2x).
             # The extra cost is one cache->RDD copy of the O(V) state.
-            out = new_state.localCheckpoint(eager=True)
+            # With fused_eval the checkpoint is LAZY: the caller's
+            # convergence aggregate (always the immediately following
+            # statement in the BSP loops) computes the superstep and
+            # stores the truncated RDD in one job — halves the
+            # jobs/superstep without giving up per-round truncation.
+            out = new_state.localCheckpoint(eager=not self.fused_eval)
             if new_state.storageLevel != StorageLevel.NONE:
                 new_state.unpersist()
-        if self._prev is not None:
+        if self.fused_eval and not durable:
+            # the previous state's blocks feed the (not yet run)
+            # materializing action — defer its unpersist one round
+            if self._defer_unpersist is not None:
+                self._defer_unpersist.unpersist()
+            self._defer_unpersist = self._prev
+        elif self._prev is not None:
             self._prev.unpersist()
         self._prev = out
         return out
