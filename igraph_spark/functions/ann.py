@@ -218,6 +218,115 @@ def cosine_topk_lsh(embeddings: DataFrame, dim: int, k: int = 10,
 
 # --------------------------------------------------------------- IVF
 
+# centroid count at or below which assignment/probing stay pure
+# Catalyst expressions (greatest over per-centroid dot structs).
+# Above it the O(n_clusters * dim) expression tree per operator makes
+# Catalyst ANALYSIS the bottleneck (at 4096 cells the old literal plan
+# could not even be built), so the argmax switches to one vectorized
+# numpy matvec per Arrow batch (guide §4.2: hand whole batches to
+# native code; §4.5: the centroid matrix is materialized once per
+# task, amortized over every batch).
+IVF_LITERAL_MAX_CLUSTERS = 64
+
+
+def _cent_matrix(centroids: list[list[float]]):
+    import numpy as np
+    return np.asarray(centroids, dtype=np.float64)
+
+
+def _assign_clusters_arrow(df: DataFrame, centroids: list[list[float]],
+                           vec_col: str,
+                           out_col: str = "cluster") -> DataFrame:
+    """Append the argmax-dot cluster via one ``V @ C.T`` per Arrow
+    batch.  Tie-break matches the literal path exactly: the HIGHEST
+    cluster index wins a dot-product tie (greatest over
+    struct(dot, cluster) semantics).  Assumes a dense, null-free
+    fixed-width embedding column (the corpus contract)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = [list(map(float, c)) for c in centroids]
+    # fresh StructType — StructType.add mutates in place, and df.schema
+    # hands back the DataFrame's cached schema object
+    schema = StructType(df.schema.fields
+                        + [StructField(out_col, IntegerType())])
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        C = np.asarray(cents, dtype=np.float64).T     # (dim, k), per task
+        k = C.shape[1]
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                yield b.append_column(out_col, pa.array([], type=pa.int32()))
+                continue
+            idx = b.schema.get_field_index(vec_col)
+            flat = (b.column(idx).flatten()
+                    .to_numpy(zero_copy_only=False).astype(np.float64))
+            dots = flat.reshape(n, -1) @ C
+            # reversed argmax -> LAST max index = highest cluster on ties
+            cl = (k - 1) - np.argmax(dots[:, ::-1], axis=1)
+            yield b.append_column(out_col,
+                                  pa.array(cl.astype("int32"),
+                                           type=pa.int32()))
+
+    return df.mapInArrow(fn, schema)
+
+
+def _probe_cells(queries: DataFrame, centroids: list[list[float]],
+                 n_probe: int, id_col: str,
+                 vec_col: str) -> DataFrame:
+    """(query_id, qv, nq, cluster) — the ``n_probe`` best cells per
+    query, literal expressions below IVF_LITERAL_MAX_CLUSTERS, Arrow
+    matvec above (cell order: dot desc, then cluster desc — identical
+    on both paths)."""
+    qv = F.col(vec_col)
+    base = queries.select(F.col(id_col).alias("query_id"),
+                          qv.alias("qv"), _norm(qv).alias("nq"),
+                          vec_col)
+    if len(centroids) <= IVF_LITERAL_MAX_CLUSTERS:
+        probe_structs = [
+            F.struct(_dot(qv, F.array(*[F.lit(x) for x in c])).alias("dot"),
+                     F.lit(ci).alias("cluster"))
+            for ci, c in enumerate(centroids)]
+        return (base.select(
+            "query_id", "qv", "nq",
+            F.slice(F.reverse(F.array_sort(F.array(*probe_structs))),
+                    1, n_probe).alias("cells"))
+            .select("query_id", "qv", "nq",
+                    F.explode("cells.cluster").alias("cluster")))
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, \
+        StructType
+
+    cents = [list(map(float, c)) for c in centroids]
+    schema = StructType(base.schema.fields
+                        + [StructField("cells", ArrayType(IntegerType()))])
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        C = np.asarray(cents, dtype=np.float64).T
+        k = C.shape[1]
+        neg_cluster = -np.arange(k)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                yield b.append_column(
+                    "cells", pa.array([], type=pa.list_(pa.int32())))
+                continue
+            idx = b.schema.get_field_index(vec_col)
+            flat = (b.column(idx).flatten()
+                    .to_numpy(zero_copy_only=False).astype(np.float64))
+            dots = flat.reshape(n, -1) @ C
+            cells = [np.lexsort((neg_cluster, -dots[i]))[:n_probe]
+                     .astype("int32").tolist() for i in range(n)]
+            yield b.append_column(
+                "cells", pa.array(cells, type=pa.list_(pa.int32())))
+
+    return (base.mapInArrow(fn, schema)
+            .select("query_id", "qv", "nq",
+                    F.explode("cells").alias("cluster")))
+
 
 def ivf_train_centroids(embeddings: DataFrame, dim: int,
                         n_clusters: int = 16, max_iter: int = 8,
@@ -226,12 +335,13 @@ def ivf_train_centroids(embeddings: DataFrame, dim: int,
     """Spherical k-means coarse quantizer (the IVF training step).
 
     Deterministic init: the ``n_clusters`` rows ranked first by
-    ``xxhash64(id, seed)``.  Lloyd rounds run fully JVM-side — the
-    assignment is a ``greatest(struct(dot, cluster))`` argmax over
-    broadcast centroid literals and the update is ``dim`` column
-    means per cluster (no explode, no Python row path).  Centroids
-    are L2-normalized each round (spherical k-means), so assignment
-    by dot product equals assignment by cosine.
+    ``xxhash64(id, seed)``.  Lloyd rounds are distributed — the
+    assignment is the shared argmax path (Catalyst literals for small
+    cell counts, Arrow matvec above IVF_LITERAL_MAX_CLUSTERS) and the
+    update is ``dim`` column means per cluster; only the
+    (n_clusters x dim) mean matrix crosses to the driver per round.
+    Centroids are L2-normalized each round (spherical k-means), so
+    assignment by dot product equals assignment by cosine.
     """
     rows = (embeddings
             .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
@@ -245,14 +355,9 @@ def ivf_train_centroids(embeddings: DataFrame, dim: int,
     cents = [_unit(c) for c in cents]
     v = F.col(vec_col)
     for _ in range(max_iter):
-        # compact higher-order-function dots (a 64-term nested Add per
-        # centroid made Catalyst analysis the bottleneck)
-        structs = [
-            F.struct(_dot(v, F.array(*[F.lit(x) for x in c])).alias("dot"),
-                     F.lit(ci).alias("cluster"))
-            for ci, c in enumerate(cents)]
-        assigned = embeddings.select(
-            vec_col, F.greatest(*structs).getField("cluster").alias("c"))
+        assigned = (ivf_assign(embeddings.select(vec_col), cents, dim,
+                               id_col=None, vec_col=vec_col)
+                    .withColumnRenamed("cluster", "c"))
         means = (assigned.groupBy("c")
                  .agg(*[F.avg(v[i].cast("double")).alias(f"m{i}")
                         for i in range(dim)])
@@ -267,11 +372,17 @@ def ivf_train_centroids(embeddings: DataFrame, dim: int,
 
 
 def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
-               dim: int, id_col: str = "vec_id",
+               dim: int, id_col: str | None = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """Attach the coarse-quantizer cell -> (id_col, vec_col..., cluster).
     At corpus scale the result is written bucketed by ``cluster`` so a
-    probe reads only the probed cells (partition pruning)."""
+    probe reads only the probed cells (``ivf_write_corpus`` /
+    ``ivf_probe_corpus``).  Assignment is pure Catalyst below
+    IVF_LITERAL_MAX_CLUSTERS and one numpy matvec per Arrow batch
+    above (at 4096+ cells the literal expression tree is unplannable;
+    see the module constant)."""
+    if len(centroids) > IVF_LITERAL_MAX_CLUSTERS:
+        return _assign_clusters_arrow(embeddings, centroids, vec_col)
     v = F.col(vec_col)
     structs = [
         F.struct(_dot(v, F.array(*[F.lit(x) for x in c])).alias("dot"),
@@ -279,6 +390,54 @@ def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
         for ci, c in enumerate(centroids)]
     return embeddings.withColumn(
         "cluster", F.greatest(*structs).getField("cluster"))
+
+
+def ivf_write_corpus(embeddings: DataFrame, centroids: list[list[float]],
+                     path: str, dim: int, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Assign and persist the corpus PARTITIONED BY cluster (one
+    directory per coarse cell) — the on-disk layout that makes a probe
+    read only its probed cells (guide §6: partitioning on write
+    determines how well readers skip data)."""
+    assigned = ivf_assign(embeddings, centroids, dim, id_col, vec_col)
+    (assigned.write.mode("overwrite")
+     .partitionBy("cluster").parquet(path))
+
+
+def ivf_probe_corpus(spark, path: str, queries: DataFrame,
+                     centroids: list[list[float]], dim: int, k: int = 10,
+                     n_probe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Top-k probe against an ``ivf_write_corpus`` layout: the scan is
+    filtered to the union of the queries' probe cells, so partition
+    pruning keeps unprobed cell directories unread (inputFiles-
+    asserted in tests/test_ann_ivf_corpus.py).  Same scoring and
+    ranking semantics as ``ivf_topk``."""
+    import os as _os
+    probes = _probe_cells(queries, centroids, n_probe, id_col, vec_col)
+    cells = sorted({r["cluster"] for r in
+                    probes.select("cluster").distinct().collect()})
+    # read ONLY the probed cell directories (the statestore pattern —
+    # explicit leaf dirs, not a filter the reader may or may not prune
+    # by); basePath keeps the cluster partition column in the schema
+    cell_dirs = [p for p in
+                 (_os.path.join(path, f"cluster={c}") for c in cells)
+                 if _os.path.isdir(p)]
+    if not cell_dirs:
+        cell_dirs = [path]  # degenerate: nothing probed exists
+    corpus = (spark.read.option("basePath", path).parquet(*cell_dirs)
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("v"),
+                      _norm(F.col(vec_col)).alias("nv"), "cluster"))
+    scored = (corpus.join(F.broadcast(probes), "cluster")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      (_dot(F.col("v"), F.col("qv"))
+                       / (F.col("nv") * F.col("nq"))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, dim: int,

@@ -371,6 +371,22 @@ def near_dup_clusters(docs: DataFrame, col: str = "text",
             docs, col=col, num_hashes=num_hashes, bands=bands,
             shingle=shingle, min_jaccard=min_jaccard, seed=seed,
             hash=hash)
+    else:
+        # detection params are dead when the caller supplies pairs —
+        # surface a non-default combination instead of ignoring it
+        defaults = dict(col="text", num_hashes=64, bands=16, shingle=5,
+                        min_jaccard=0.6, seed=42, hash="xxhash64")
+        passed = dict(col=col, num_hashes=num_hashes, bands=bands,
+                      shingle=shingle, min_jaccard=min_jaccard,
+                      seed=seed, hash=hash)
+        stale = {k: v for k, v in passed.items() if v != defaults[k]}
+        if stale:
+            import warnings
+            warnings.warn(
+                "near_dup_clusters: detection parameters "
+                f"{sorted(stale)} are ignored when pairs= is supplied "
+                "(the pair DataFrame already fixes the detection "
+                "config)", stacklevel=2)
     g = Graph(pairs.select(F.col("a").alias("src"),
                            F.col("b").alias("dst")),
               directed=False)

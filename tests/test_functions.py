@@ -93,7 +93,11 @@ def test_near_dup_clusters_pairs_passthrough(spark, docs):
     # passing the pre-verified pair DataFrame must give the same
     # clusters as the one-call path (which re-derives it internally)
     d = docs.where("doc_id <> 5")
-    pairs = dedup.minhash_verified_pairs(d, min_jaccard=0.5)
+    # detection params passed explicitly so the pair table matches the
+    # one-call path's LSH config by construction (near_dup_clusters
+    # defaults num_hashes=64; minhash_verified_pairs defaults 32)
+    pairs = dedup.minhash_verified_pairs(d, num_hashes=64, bands=16,
+                                         shingle=5, min_jaccard=0.5)
     one_call = dedup.near_dup_clusters(d, min_jaccard=0.5)
     reused = dedup.near_dup_clusters(d, min_jaccard=0.5, pairs=pairs)
     assert sorted(map(tuple, one_call.collect())) == \

@@ -2,10 +2,10 @@
 
 The driver's official correctness gate evaluates the first 50 entries
 of __spark_entry__.queries().  GATE_WINDOW.json records which cohort
-was gated in which round (r01-r04 copied verbatim from the committed
-CORRECTNESS artifacts, r05 = the planned window); these tests pin the
-ledger to the code so the rotation policy is verifiable without
-reading prose.
+was gated in which round (r01-r05 copied verbatim from the committed
+CORRECTNESS artifacts, the latest round = the planned window); these
+tests pin the ledger to the code so the rotation policy is verifiable
+without reading prose.
 """
 
 import json
@@ -18,6 +18,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NORTH = ["pagerank", "ppr", "wcc_sizes", "scc_sizes",
          "lpa_community_sizes", "triangle_count", "triangles_per_vertex",
          "transitivity"]
+
+CURRENT = "r06"
+PREVIOUS = "r05"
 
 
 @pytest.fixture(scope="module")
@@ -35,17 +38,17 @@ def registered():
 
 
 def test_window_matches_registration_order(ledger, registered):
-    window = ledger["rounds"]["r05"]
+    window = ledger["rounds"][CURRENT]
     assert len(window) == ledger["window_size"] == 50
     assert registered[:50] == window, (
-        "the first 50 queries() entries must be exactly the r05 window "
-        "recorded in GATE_WINDOW.json")
+        f"the first 50 queries() entries must be exactly the {CURRENT} "
+        "window recorded in GATE_WINDOW.json")
 
 
 def test_north_rule_always_gated(ledger):
     # the always-gated policy was established by the round-3 verdict;
     # r01/r02 predate it (their windows were coverage-ordered)
-    for rnd in ("r03", "r04", "r05"):
+    for rnd in ("r03", "r04", "r05", "r06"):
         cohort = ledger["rounds"][rnd]
         for q in NORTH:
             assert q in cohort, f"{q} missing from the {rnd} gate"
@@ -55,24 +58,39 @@ def test_two_round_rotation_policy(ledger, registered):
     """Every registered query must be gated in the current or previous
     round (officially gated at least once every two rounds) — except
     queries ledgered pending_next_round (registered after the current
-    window was sealed at capacity, owed a slot in the NEXT round) and,
-    in the terminal round only, the displaced_terminal cohort whose
-    rotation slot was given to a never-gated new query (see
-    test_displaced_terminal_is_principled)."""
-    recent = (set(ledger["rounds"]["r04"]) | set(ledger["rounds"]["r05"])
-              | set(ledger.get("pending_next_round", []))
-              | set(ledger.get("displaced_terminal", {}).get("queries", [])))
+    window was sealed at capacity, owed a slot in the NEXT round)."""
+    recent = (set(ledger["rounds"][PREVIOUS]) | set(ledger["rounds"][CURRENT])
+              | set(ledger.get("pending_next_round", [])))
     missing = [q for q in registered if q not in recent]
-    assert not missing, f"queries not gated in r04 or r05: {missing}"
+    assert not missing, (
+        f"queries not gated in {PREVIOUS} or {CURRENT}: {missing}")
+
+
+def test_owed_tail_gated_in_r06(ledger, registered):
+    """Round 6 owed exactly: the 6 displaced_terminal queries (last
+    official gate r03) and every query whose last gate was r04.  All
+    must be inside the r06 window."""
+    window = set(ledger["rounds"]["r06"])
+    last = {}
+    for rnd in ("r01", "r02", "r03", "r04", "r05"):
+        for q in ledger["rounds"].get(rnd, []):
+            last[q] = rnd
+    owed = [q for q in registered if last.get(q, "r00") <= "r04"]
+    missing = [q for q in owed if q not in window]
+    assert not missing, f"owed queries outside the r06 window: {missing}"
+    # the window is exactly north + owed (capacity check)
+    assert set(owed) | set(NORTH) == window
 
 
 def test_displaced_terminal_is_principled(ledger, registered):
-    """displaced_terminal is not a loophole: every displaced query must
-    be registered, have a PRIOR official gate (r03), not be new or
-    changed in r05, and its freed slot must be used by a query that has
-    never been officially gated (the whole point of the swap)."""
+    """displaced_terminal (an r05 artifact) is not a loophole: every
+    displaced query must be registered, have a PRIOR official gate
+    (r03), not be new or changed in r05, its freed r05 slot must have
+    gone to a never-before-gated query — and, now that r06 exists, the
+    displaced query must have received its owed official gate there."""
     disp = ledger.get("displaced_terminal", {}).get("queries", [])
-    window = set(ledger["rounds"]["r05"])
+    window5 = set(ledger["rounds"]["r05"])
+    window6 = set(ledger["rounds"]["r06"])
     previously_gated = set()
     for rnd in ("r01", "r02", "r03", "r04"):
         previously_gated |= set(ledger["rounds"].get(rnd, []))
@@ -80,14 +98,15 @@ def test_displaced_terminal_is_principled(ledger, registered):
         assert q in registered, f"displaced query {q} is not registered"
         assert q in set(ledger["rounds"]["r03"]), (
             f"displaced query {q} has no prior official r03 gate")
-        assert q not in window, f"displaced query {q} still in the window"
+        assert q not in window5, f"displaced query {q} was in the r05 window"
+        assert q in window6, f"displaced query {q} not re-gated in r06"
         assert q not in ledger["changed_in"].get("r05", []), (
             f"changed query {q} may not be displaced")
-    # the never-gated newcomers must all have made it into the window
+    # the never-gated r05 newcomers must all have made it into r05's window
     never_gated = [q for q in registered if q not in previously_gated]
-    missing = [q for q in never_gated if q not in window]
+    missing = [q for q in never_gated if q not in window5]
     assert not missing, (
-        f"never-officially-gated queries outside the final window: {missing}")
+        f"never-officially-gated queries outside the r05 window: {missing}")
 
 
 def test_pending_entries_are_new_registered_and_unwindowed(ledger,
@@ -103,12 +122,14 @@ def test_pending_entries_are_new_registered_and_unwindowed(ledger,
 
 
 def test_changed_queries_enter_window(ledger):
-    window = set(ledger["rounds"]["r05"])
-    for q in ledger["changed_in"]["r05"]:
-        assert q in window, f"changed query {q} must gate the round it ships"
+    for rnd, changed in ledger["changed_in"].items():
+        window = set(ledger["rounds"][rnd])
+        for q in changed:
+            assert q in window, (
+                f"changed query {q} must gate the round it ships ({rnd})")
 
 
 def test_historic_cohorts_match_artifacts(ledger):
-    for rnd in ("r02", "r03", "r04"):
+    for rnd in ("r02", "r03", "r04", "r05"):
         with open(os.path.join(ROOT, f"CORRECTNESS_{rnd}.json")) as fh:
             assert ledger["rounds"][rnd] == list(json.load(fh).keys())

@@ -102,19 +102,27 @@ def main() -> None:
         from igraph_spark.algorithms.components import connected_components
         import igraph_spark.checkpointing as cp
         hists = []
+        metr = []
         orig_adv = cp.SuperstepRunner.advance
+        orig_upd = cp.SuperstepRunner.update_metrics
         def patched_adv(self, step, new_state, metrics=None):
             r = orig_adv(self, step, new_state, metrics)
             hists.append((step, round(time.monotonic(), 3)))
             return r
+        def patched_upd(self, step, metrics):
+            metr.append((step, dict(metrics), round(time.monotonic(), 3)))
+            return orig_upd(self, step, metrics)
         cp.SuperstepRunner.advance = patched_adv
+        cp.SuperstepRunner.update_metrics = patched_upd
         t0 = time.monotonic()
         cc = connected_components(g, "weak", max_iter=40)
         n = cc.select("component").distinct().count()
         out["wall"] = round(time.monotonic() - t0, 3)
         out["components"] = n
         out["round_ends"] = [round(t - t0, 3) for _, t in hists]
+        out["metrics"] = [(s, m, round(t - t0, 3)) for s, m, t in metr]
         cp.SuperstepRunner.advance = orig_adv
+        cp.SuperstepRunner.update_metrics = orig_upd
 
     elif leg == "lpa":
         from igraph_spark.algorithms.lpa import label_propagation

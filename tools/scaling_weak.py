@@ -35,13 +35,22 @@ def main() -> None:
     steps = 10
     load0 = [round(x, 2) for x in os.getloadavg()]
     legs = []
-    for cores, n_vert in ((8, 1 << 22), (32, 1 << 24)):
-        os.environ["SCALING_N_VERTICES"] = str(n_vert)
-        r = run(cores, cores * edges_per_core, steps)
-        legs.append({"cores": cores, "edges": r["edges"],
-                     "n_vertices": n_vert, "sec": r["sec"],
-                     "steal_pct": r.get("steal_pct"),
-                     "thr": round(r["edges_per_sec_per_superstep"])})
+    prior = os.environ.get("SCALING_N_VERTICES")
+    try:
+        for cores, n_vert in ((8, 1 << 22), (32, 1 << 24)):
+            os.environ["SCALING_N_VERTICES"] = str(n_vert)
+            r = run(cores, cores * edges_per_core, steps)
+            legs.append({"cores": cores, "edges": r["edges"],
+                         "n_vertices": n_vert, "sec": r["sec"],
+                         "steal_pct": r.get("steal_pct"),
+                         "thr": round(r["edges_per_sec_per_superstep"])})
+    finally:
+        # scope the env mutation to the legs: a later in-process
+        # scaling_bench.run() must not inherit the 32-core leg's size
+        if prior is None:
+            os.environ.pop("SCALING_N_VERTICES", None)
+        else:
+            os.environ["SCALING_N_VERTICES"] = prior
     eff = (legs[1]["thr"] / legs[1]["cores"]) / (
         legs[0]["thr"] / legs[0]["cores"])
     rec = {"pairs": legs, "weak_scaling_eff": round(eff, 3),
