@@ -104,9 +104,14 @@ def _weak_components_raw(graph: Graph, max_iter: int = 200,
     for step in range(start, max_iter):
         frontier = (state.where(F.col("chg"))
                     .select(F.col(ID).alias(SRC), F.col("comp").alias("fc")))
-        nbrmin = (sym.join(frontier, SRC)
+        # SHUFFLE_HASH hints: under autoBroadcastJoinThreshold=-1 the
+        # planner can only pick sort-merge, which re-sorts the cached
+        # O(m) sym table every round (guide §3.1); the hinted sides
+        # build bounded per-partition hash maps instead
+        nbrmin = (sym.join(frontier.hint("shuffle_hash"), SRC)
                   .groupBy(DST).agg(F.min("fc").alias("nbr_comp")))
-        half = (state.join(nbrmin, state[ID] == nbrmin[DST], "left")
+        half = (state.join(nbrmin.hint("shuffle_hash"),
+                           state[ID] == nbrmin[DST], "left")
                 .select(state[ID], F.col("comp").alias("old"),
                         F.least(F.col("comp"),
                                 F.coalesce("nbr_comp", F.col("comp")))
@@ -128,7 +133,8 @@ def _weak_components_raw(graph: Graph, max_iter: int = 200,
             # rounds rely on (the jump join is keyed on the label)
             m = state.select(F.col(ID).alias("mid"),
                              F.col("comp").alias("mc"))
-            new = (half.join(m, half["c1"] == m["mid"], "left")
+            new = (half.join(m.hint("shuffle_hash"),
+                             half["c1"] == m["mid"], "left")
                    .select(half[ID], "old",
                            F.least("c1", F.coalesce("mc", "c1"))
                            .alias("comp"))

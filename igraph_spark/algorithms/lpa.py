@@ -28,6 +28,13 @@ from pyspark.storagelevel import StorageLevel
 from igraph_spark.graph import Graph, SRC, DST, WEIGHT, ID
 from igraph_spark.checkpointing import SuperstepRunner
 
+# measured join-strategy knobs (round 6; see BENCH/r06/lpa_ab_*.json):
+# LPA_SORT_INC caches the incidence halves SORTED by src and drops the
+# shuffle_hash hints, reproducing pagerank's near-free sorted-SMJ
+# chain; LPA_SHJ_HINT keeps the hash-join hints over unsorted caches.
+LPA_SORT_INC = False
+LPA_SHJ_HINT = True
+
 
 def _labels_df(graph: Graph, initial) -> DataFrame:
     """(id, label) start state; None initial => every vertex its own
@@ -102,11 +109,14 @@ def label_propagation(graph: Graph, weights: bool | None = None,
         # output and both tally exchanges, with identical results.
         pick_dst = (F.pmod(F.col(DST), F.lit(2)) if parity == "id"
                     else F.pmod(F.xxhash64(DST, F.lit(seed)), F.lit(2)))
-        inc_half = [
-            (inc.where(pick_dst == p)
-             .repartition(num_partitions, SRC)
-             .persist(StorageLevel.MEMORY_AND_DISK))
-            for p in (0, 1)]
+
+        def _half(p):
+            h = inc.where(pick_dst == p).repartition(num_partitions, SRC)
+            if LPA_SORT_INC:
+                h = h.sortWithinPartitions(SRC, DST)
+            return h.persist(StorageLevel.MEMORY_AND_DISK)
+
+        inc_half = [_half(p) for p in (0, 1)]
 
     labels0 = _labels_df(graph, initial)
     if fixed is None:
@@ -136,10 +146,15 @@ def label_propagation(graph: Graph, weights: bool | None = None,
                      .withColumnRenamed("label", "nbr_label")
                      .withColumnRenamed("dst", DST))
         else:
+            # SHUFFLE_HASH (default): avoid re-sorting the cached
+            # incidence half every sweep (guide §3.1; see pagerank.py
+            # for the opposite, measured sorted-SMJ choice)
+            nbr = state.select(F.col(ID).alias(SRC),
+                               F.col("label").alias("nbr_label"))
+            if LPA_SHJ_HINT:
+                nbr = nbr.hint("shuffle_hash")
             tally = (inc_half[round_parity]
-                     .join(state.select(F.col(ID).alias(SRC),
-                                        F.col("label").alias("nbr_label")),
-                           SRC)
+                     .join(nbr, SRC)
                      .where(F.col("nbr_label").isNotNull())
                      .groupBy(DST, "nbr_label")
                      .agg(F.sum(WEIGHT).alias("w")))
@@ -157,8 +172,9 @@ def label_propagation(graph: Graph, weights: bool | None = None,
         updatable = ((~F.col("fixed"))
                      & (pick == round_parity)
                      & F.col("best").isNotNull())
+        best_j = best.hint("shuffle_hash") if LPA_SHJ_HINT else best
         new = (state.select(ID, F.col("label").alias("prev"), "fixed")
-               .join(best, ID, "left")
+               .join(best_j, ID, "left")
                .select(ID,
                        F.when(updatable, F.col("best")).otherwise(F.col("prev"))
                        .alias("label"),

@@ -215,6 +215,18 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
             contrib = csr_contrib(state.select(ID, "pr"), links,
                                   num_partitions)
         else:
+            # join strategy note (round 6, measured): this join stays
+            # SORT-MERGE deliberately.  The links cache is pre-sorted
+            # by src (hash_partition sortWithinPartitions), and the
+            # superstep's own SMJ output is sorted by id, so the state
+            # side re-enters the next superstep already ordered — the
+            # per-superstep sorts degenerate to near-free passes over
+            # sorted runs.  A shuffle_hash hint here was measured 1.6x
+            # SLOWER at the bench shape (29.2 s vs 17.9 s for the
+            # 10-superstep leg): it discards the sorted chain and pays
+            # a hash build + random-probe per superstep.  WCC/LPA hint
+            # shuffle_hash instead because their cached tables are NOT
+            # sorted (see components.py/lpa.py).
             contrib = (links.join(state.select(ID, "pr"),
                                   links[SRC] == F.col(ID))
                        .groupBy(DST)

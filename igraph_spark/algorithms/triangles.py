@@ -48,8 +48,10 @@ def _oriented(graph: Graph) -> tuple[DataFrame, DataFrame]:
            .unionByName(simple.select(F.col("v").alias(ID)))
            .groupBy(ID).agg(F.count("*").alias("deg")))
     e = (simple
-         .join(deg.select(F.col(ID).alias("u"), F.col("deg").alias("du")), "u")
-         .join(deg.select(F.col(ID).alias("v"), F.col("deg").alias("dv")), "v"))
+         .join(deg.select(F.col(ID).alias("u"), F.col("deg").alias("du"))
+               .hint("shuffle_hash"), "u")
+         .join(deg.select(F.col(ID).alias("v"), F.col("deg").alias("dv"))
+               .hint("shuffle_hash"), "v"))
     ku = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
     kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
     oriented = e.select(
@@ -62,15 +64,21 @@ def _oriented(graph: Graph) -> tuple[DataFrame, DataFrame]:
 
 def _wedge_close(oriented: DataFrame) -> DataFrame:
     """The two chained equi joins over a (cached) oriented table ->
-    DataFrame(a, b, c), a<b<c."""
+    DataFrame(a, b, c), a<b<c.
+
+    Both joins carry SHUFFLE_HASH hints (guide §3.1): under
+    autoBroadcastJoinThreshold=-1 the planner can only pick sort-merge,
+    which SORTS the full O(wedges) stream before the closing probe;
+    the hash join builds from the O(m) oriented side instead."""
     e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"),
                          F.col("khi").alias("ky"))
     e2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"),
                          F.col("khi").alias("kz"))
-    wedges = (e1.join(e2, "x").where(F.col("ky") < F.col("kz"))
+    wedges = (e1.join(e2.hint("shuffle_hash"), "x")
+              .where(F.col("ky") < F.col("kz"))
               .select("x", "y", "z"))
     closing = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
-    tri = wedges.join(closing, ["y", "z"])
+    tri = wedges.join(closing.hint("shuffle_hash"), ["y", "z"])
     return tri.select(
         F.least("x", "y", "z").alias("a"),
         F.greatest(F.least("x", "y"), F.least(F.greatest("x", "y"), F.col("z"))).alias("b"),

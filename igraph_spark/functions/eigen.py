@@ -129,10 +129,14 @@ def eigen_matrix_symmetric(mat: DataFrame, n: int | None = None,
         # 'all'/'select' want the FULL spectrum / arbitrary interior
         # positions — inherently dense output, LAPACK-only (as in the
         # reference, eigen.c LAPACK route computes everything then
-        # selects).
+        # selects).  This is a DOCUMENTED gate, not a missing feature:
+        # see SURVEY.md §2.12 ("Documented gate (r6)") for the
+        # rationale and the distributed workarounds.
         raise ValueError(
-            f"which={which!r} needs the full spectrum; use "
-            f"algorithm='lapack' (driver) or raise driver_threshold")
+            f"which={which!r} needs the full spectrum — a documented "
+            f"driver-only gate (SURVEY.md §2.12): use "
+            f"algorithm='lapack' below driver_threshold, or a "
+            f"distributed which-spec (lm/sm/la/sa/be/interval)")
 
     if w == "be":
         # both ends = compose 'la' + 'sa' runs, interleaved largest

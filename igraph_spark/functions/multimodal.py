@@ -1,17 +1,21 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads with typed
 metadata, processed through Arrow-batched pandas iterators.
 
-The image/audio codecs are NOT in this container, so the decode step
-is stubbed (deterministic fake features / NotImplementedError for real
-codecs) — but the Spark-side machinery is real and tested: schema,
-``mapInPandas`` batch iteration, partition-sized batching, and the
-metadata columns a 100 TB multimodal pipeline needs for partition
-pruning (modality, byte size, content digest).
+The image/audio codecs are NOT in this container, so the DEFAULT
+decode step is a deterministic fake-feature stub — but the decoder is
+pluggable (round 6): ``register_decoder(modality, fn)`` installs a
+real ``bytes -> list[float]`` featurizer (e.g. a PIL thumbnail-pixel
+embedding; ``register_pil_image_decoder`` wires one up when PIL is
+importable and is skipped cleanly when it is not).  The Spark-side
+machinery is real and tested either way: schema, ``mapInPandas``
+batch iteration, partition-sized batching, and the metadata columns a
+100 TB multimodal pipeline needs for partition pruning (modality,
+byte size, content digest).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
@@ -55,15 +59,67 @@ def _fake_decode(payload: bytes, modality: str, n_feat: int) -> list[float]:
     return out
 
 
+# decoder registry: modality -> (payload bytes, n_feat) -> list[float].
+# The deterministic fake is the default for every modality; a real
+# codec plugs in per modality without touching the Spark plumbing.
+_DECODERS: dict[str, Callable[[bytes, int], list[float]]] = {}
+
+
+def register_decoder(modality: str,
+                     fn: Callable[[bytes, int], list[float]]) -> None:
+    """Install a real featurizer for ``modality`` — called once per
+    payload with (payload_bytes, n_feat), must return ``n_feat``
+    floats.  Replaces the deterministic fake for that modality in
+    every subsequent ``extract_features`` call."""
+    _DECODERS[modality] = fn
+
+
+def unregister_decoder(modality: str) -> None:
+    _DECODERS.pop(modality, None)
+
+
+def register_pil_image_decoder(thumb: int = 4) -> bool:
+    """Wire a REAL image decoder (PIL) into the registry when the
+    codec is importable: decode -> ``thumb`` x ``thumb`` grayscale
+    thumbnail -> first ``n_feat`` pixel intensities in [0, 1).
+    Returns False (registry untouched) when PIL is absent — the
+    documented no-codecs-in-container case."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError:
+        return False
+
+    def _pil_decode(payload: bytes, n_feat: int) -> list[float]:
+        img = Image.open(BytesIO(payload)).convert("L")
+        img = img.resize((thumb, thumb))
+        px = list(img.getdata())
+        out = [(px[i % len(px)]) / 256.0 for i in range(n_feat)]
+        return out
+
+    register_decoder("image", _pil_decode)
+    return True
+
+
 def extract_features(media: DataFrame, n_feat: int = 8) -> DataFrame:
     """Decode + featurize via ``mapInPandas`` (Arrow batches; the
     decoder sees a pandas batch, never a Python row loop over Spark).
+    Per-modality decoders come from the registry (``register_decoder``);
+    unregistered modalities use the deterministic fake.
     Output schema == FEATURE_SCHEMA."""
+    decoders = dict(_DECODERS)  # captured into the task closure
+
+    def _decode(payload: bytes, modality: str) -> list[float]:
+        fn = decoders.get(modality)
+        if fn is not None:
+            return fn(payload, n_feat)
+        return _fake_decode(payload, modality, n_feat)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode(p, m, n_feat)
+                _decode(p, m)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
             yield pd.DataFrame({

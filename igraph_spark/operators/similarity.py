@@ -22,7 +22,11 @@ def cocitation(graph: Graph) -> DataFrame:
     e = graph.edges.select(SRC, DST).distinct()
     x = e.select(F.col(SRC).alias("citer"), F.col(DST).alias("a"))
     y = e.select(F.col(SRC).alias("citer"), F.col(DST).alias("b"))
-    return (x.join(y, "citer").where(F.col("a") < F.col("b"))
+    # SHUFFLE_HASH: the wedge self-join streams O(wedges) rows; without
+    # the hint it plans as sort-merge under autoBroadcastJoinThreshold=-1
+    # and sorts both O(m) sides first (guide §3.1)
+    return (x.join(y.hint("shuffle_hash"), "citer")
+            .where(F.col("a") < F.col("b"))
             .groupBy("a", "b").agg(F.count("*").alias("common")))
 
 
@@ -32,7 +36,8 @@ def bibcoupling(graph: Graph) -> DataFrame:
     e = graph.edges.select(SRC, DST).distinct()
     x = e.select(F.col(DST).alias("cited"), F.col(SRC).alias("a"))
     y = e.select(F.col(DST).alias("cited"), F.col(SRC).alias("b"))
-    return (x.join(y, "cited").where(F.col("a") < F.col("b"))
+    return (x.join(y.hint("shuffle_hash"), "cited")
+            .where(F.col("a") < F.col("b"))
             .groupBy("a", "b").agg(F.count("*").alias("common")))
 
 
@@ -53,7 +58,8 @@ def similarity_jaccard(graph: Graph, min_common: int = 1) -> DataFrame:
     deg = ns.groupBy(ID).agg(F.count("*").alias("deg"))
     x = ns.select(F.col("nbr"), F.col(ID).alias("a"))
     y = ns.select(F.col("nbr"), F.col(ID).alias("b"))
-    common = (x.join(y, "nbr").where(F.col("a") < F.col("b"))
+    common = (x.join(y.hint("shuffle_hash"), "nbr")
+              .where(F.col("a") < F.col("b"))
               .groupBy("a", "b").agg(F.count("*").alias("common"))
               .where(F.col("common") >= min_common))
     return (common
@@ -72,7 +78,8 @@ def similarity_dice(graph: Graph, min_common: int = 1) -> DataFrame:
     deg = ns.groupBy(ID).agg(F.count("*").alias("deg"))
     x = ns.select(F.col("nbr"), F.col(ID).alias("a"))
     y = ns.select(F.col("nbr"), F.col(ID).alias("b"))
-    common = (x.join(y, "nbr").where(F.col("a") < F.col("b"))
+    common = (x.join(y.hint("shuffle_hash"), "nbr")
+              .where(F.col("a") < F.col("b"))
               .groupBy("a", "b").agg(F.count("*").alias("common"))
               .where(F.col("common") >= min_common))
     return (common

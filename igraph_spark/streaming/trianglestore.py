@@ -1,0 +1,223 @@
+"""Bucketed on-disk canonical edge set: batch-proportional triangle
+folds (round 6 — the scan-floor amortization the round-5 verdict
+asked for).
+
+``merge_triangle_count`` / ``incremental_triangles_ingest`` keep the
+accumulated canonical edge set as flat parquet and pay two full
+map-side SCANS of it per micro-batch (the seen-before probe and the
+adjacency/closing probes) — batch-proportional shuffle, but an O(E)
+read floor that grows with the accumulated graph (measured 9-20 s at
+100M edges, BENCH/BASELINE.md).
+
+This store makes the per-batch READ proportional to the batch's
+neighborhood instead:
+
+* the state is the SYMMETRIZED adjacency ``(x, w)`` (each undirected
+  canonical edge u<v stored as u->v and v->u), hash-bucketed on the
+  incident vertex ``bucket = pmod(xxhash64(x), B)`` and written
+  ``partitionBy(bucket)`` per epoch delta;
+* every probe the fold makes is keyed on a batch-derived vertex, so
+  the fold reads ONLY
+    - the buckets of the batch's endpoints (seen-before probe + the
+      adjacency feeding candidate wedges), then
+    - the buckets of the candidate closing pairs' low vertices
+  — both bucket sets are collected as batch-sized scalar lists and
+  the scan unions exactly those partition directories
+  (``inputFiles``-asserted in tests/test_trianglestore.py);
+* commit is the manifest flip (written LAST): the committed epoch
+  list plus the running count.  A replayed epoch
+  (``epoch_id <= committed``) is a no-op; a crash mid-write leaves an
+  orphan delta no manifest references — the same at-least-once
+  contract as ``incremental_triangles_ingest``;
+* ``compact(max_deltas)`` folds the delta chain back into one
+  partitioned leaf set when it grows past ``max_deltas`` (reads
+  everything once — amortized against the per-batch pruning wins).
+
+The triangle arithmetic is IDENTICAL to ``_new_triangles``'s
+c1+c2+c3 decomposition — only the scan source changes, from the full
+flat set to the union of the probed buckets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from igraph_spark.streaming.incremental import (_batch_triangles,
+                                                canonical_edges)
+
+_MANIFEST = "_MANIFEST"
+
+
+def _bucket(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+class BucketedEdgeStore:
+    """Durable symmetrized canonical edge set with bucket-pruned
+    triangle folds."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 64,
+                 driver_threshold: int = 1 << 21):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+        self.driver_threshold = driver_threshold
+        self._pruned_input_files: list[str] = []   # test hook
+        m = self._read_manifest()
+        if m is not None:
+            self.n_buckets = int(m["n_buckets"])
+        os.makedirs(path, exist_ok=True)
+
+    # ------------------------------------------------------------ state
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _read_manifest(self) -> dict | None:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, doc: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, self._manifest_path())
+
+    def triangle_count(self) -> int:
+        m = self._read_manifest()
+        return int(m["count"]) if m else 0
+
+    def _delta_dirs(self, epochs) -> list[str]:
+        return [os.path.join(self.path, f"delta={e}") for e in epochs]
+
+    def _read_buckets(self, epochs, buckets) -> DataFrame:
+        """Scan of the committed adjacency restricted to ``buckets`` —
+        explicit partition directories only (the statestore pattern:
+        pruning by construction, not by filter pushdown)."""
+        dirs = []
+        for d in self._delta_dirs(epochs):
+            for b in buckets:
+                leaf = os.path.join(d, f"bucket={b}")
+                if os.path.isdir(leaf):
+                    dirs.append(leaf)
+        if not dirs:
+            df = self.spark.createDataFrame([], "x long, w long")
+            self._pruned_input_files = []
+            return df
+        df = (self.spark.read.option("basePath", self.path)
+              .parquet(*dirs).select("x", "w"))
+        self._pruned_input_files = df.inputFiles()
+        return df
+
+    def edges(self) -> DataFrame:
+        """The full canonical (u, v) set — verification / analytics."""
+        m = self._read_manifest()
+        if not m or not m["epochs"]:
+            return self.spark.createDataFrame([], "u long, v long")
+        df = (self.spark.read.option("basePath", self.path)
+              .parquet(*self._delta_dirs(m["epochs"])))
+        return (df.where(F.col("x") < F.col("w"))
+                .select(F.col("x").alias("u"), F.col("w").alias("v")))
+
+    # ------------------------------------------------------------- fold
+    def fold_epoch(self, batch_df: DataFrame, epoch_id: int) -> bool:
+        """Fold one micro-batch: update the running triangle count and
+        append the batch's new canonical edges as a bucketed delta.
+        Returns False for an already-committed (replayed) epoch."""
+        m = self._read_manifest() or {"n_buckets": self.n_buckets,
+                                      "epochs": [], "count": 0}
+        if m["epochs"] and epoch_id <= max(m["epochs"]):
+            return False
+        cb = canonical_edges(batch_df).localCheckpoint(eager=True)
+        epochs, count = list(m["epochs"]), int(m["count"])
+
+        if epochs:
+            ep_buckets = sorted({r[0] for r in cb.select(
+                F.explode(F.array(
+                    _bucket(F.col("u"), self.n_buckets),
+                    _bucket(F.col("v"), self.n_buckets))).alias("b"))
+                .distinct().collect()})
+            sub1 = self._read_buckets(epochs, ep_buckets)
+            # seen-before probe: store rows matching a batch pair
+            dup = (sub1.join(F.broadcast(cb),
+                             (sub1["x"] == cb["u"]) & (sub1["w"] == cb["v"]),
+                             "left_semi")
+                   .select(F.col("x").alias("u"), F.col("w").alias("v")))
+            b = (cb.join(F.broadcast(dup), ["u", "v"], "left_anti")
+                 .localCheckpoint(eager=True))
+        else:
+            sub1 = None
+            b = cb
+        if b.isEmpty():
+            self._write_manifest({"n_buckets": self.n_buckets,
+                                  "epochs": epochs, "count": count})
+            return True
+
+        if epochs:
+            # c1/c2: candidates from the PRUNED adjacency, closing
+            # probe against a second pruned read — arithmetic identical
+            # to incremental._new_triangles
+            cand = (F.broadcast(b).join(sub1, b["u"] == sub1["x"])
+                    .select("u", "v", "w")
+                    .where(F.col("w") != F.col("v"))
+                    .localCheckpoint(eager=True))
+            bsym = (b.select(F.col("u").alias("c"), F.col("v").alias("p"))
+                    .unionByName(b.select(F.col("v").alias("c"),
+                                          F.col("u").alias("p"))))
+            wedge = (bsym.join(bsym.withColumnRenamed("p", "q"), "c")
+                     .where(F.col("p") < F.col("q")))
+            probes = (cand.select(F.least("v", "w").alias("a"),
+                                  F.greatest("v", "w").alias("pb"))
+                      .unionAll(wedge.select(F.col("p").alias("a"),
+                                             F.col("q").alias("pb")))
+                      .localCheckpoint(eager=True))
+            a_buckets = sorted({r[0] for r in probes.select(
+                _bucket(F.col("a"), self.n_buckets).alias("b"))
+                .distinct().collect()})
+            sub2 = self._read_buckets(epochs, a_buckets)
+            count += (sub2.join(F.broadcast(probes),
+                                (probes["a"] == sub2["x"])
+                                & (probes["pb"] == sub2["w"]))
+                      .count())
+        count += _batch_triangles(b, self.driver_threshold)
+
+        bsym_store = (b.select(F.col("u").alias("x"), F.col("v").alias("w"))
+                      .unionByName(b.select(F.col("v").alias("x"),
+                                            F.col("u").alias("w")))
+                      .withColumn("bucket",
+                                  _bucket(F.col("x"), self.n_buckets)))
+        (bsym_store.write.mode("overwrite").partitionBy("bucket")
+         .parquet(os.path.join(self.path, f"delta={epoch_id}")))
+        epochs.append(epoch_id)
+        self._write_manifest({"n_buckets": self.n_buckets,
+                              "epochs": epochs, "count": count})
+        return True
+
+    # -------------------------------------------------------- compact
+    def compact(self, max_deltas: int = 16) -> bool:
+        """Fold the delta chain into one leaf set when it exceeds
+        ``max_deltas`` (bounds the per-probe directory fan-out; one
+        O(E) rewrite amortized over the batches that grew the chain)."""
+        m = self._read_manifest()
+        if not m or len(m["epochs"]) <= max_deltas:
+            return False
+        new_epoch = max(m["epochs"]) + 1
+        df = (self.spark.read.option("basePath", self.path)
+              .parquet(*self._delta_dirs(m["epochs"])))
+        (df.select("x", "w", "bucket")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(os.path.join(self.path, f"delta={new_epoch}")))
+        old = m["epochs"]
+        self._write_manifest({"n_buckets": self.n_buckets,
+                              "epochs": [new_epoch],
+                              "count": int(m["count"])})
+        for d in self._delta_dirs(old):
+            shutil.rmtree(d, ignore_errors=True)
+        return True

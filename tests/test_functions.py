@@ -151,6 +151,50 @@ def test_multimodal_plumbing(spark, docs):
     assert all(len(r["frame"]) <= 16 for r in frames)
 
 
+def test_multimodal_decoder_registry(spark, docs):
+    # a registered real decoder replaces the fake for its modality and
+    # unregistering restores the fake (round 6: pluggable decode)
+    media = multimodal.make_media_table(docs.where("doc_id <> 5"))
+    fake = {r["media_id"]: list(r["feat"])
+            for r in multimodal.extract_features(media, n_feat=4).collect()}
+    multimodal.register_decoder(
+        "image", lambda payload, n: [float(len(payload))] * n)
+    try:
+        real = {r["media_id"]: list(r["feat"])
+                for r in multimodal.extract_features(media, n_feat=4)
+                .collect()}
+        assert all(len(v) == 4 and v[0] >= 1.0 for v in real.values())
+        assert real != fake
+    finally:
+        multimodal.unregister_decoder("image")
+    again = {r["media_id"]: list(r["feat"])
+             for r in multimodal.extract_features(media, n_feat=4)
+             .collect()}
+    assert again == fake
+
+
+def test_multimodal_pil_decoder_when_available(spark, docs):
+    # the real-codec path: registers only when PIL is importable; the
+    # no-codecs container skips cleanly (the documented gate)
+    import pytest
+    if not multimodal.register_pil_image_decoder():
+        pytest.skip("PIL not installed — decode stays the documented fake")
+    try:
+        import io
+
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.new("L", (8, 8), 128).save(buf, format="PNG")
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(buf.getvalue()), "image/png",
+              len(buf.getvalue()), 0)],
+            multimodal.MEDIA_SCHEMA)
+        rows = multimodal.extract_features(media, n_feat=4).collect()
+        assert rows[0]["feat"] == [0.5] * 4
+    finally:
+        multimodal.unregister_decoder("image")
+
+
 def test_ann_ivf_full_probe_equals_bruteforce(spark):
     rows = [(i, [float(i == j) + 0.1 * ((i * 7 + j) % 3)
                  for j in range(4)], 0) for i in range(30)]
