@@ -127,6 +127,8 @@ _MODW_E_SQL = f"""
 # DuckDB oracles — a fixed prefix of a converging iteration is exactly
 # reproducible, unlike a tolerance-triggered stop
 _PR_ITERS = 20
+_PR_WARM_BASE_ITERS = 12   # phase-1 (subset graph) supersteps
+_PR_WARM_ITERS = 8         # phase-2 (full graph, warm init) supersteps
 _EIG_ITERS = 30
 _HITS_ITERS = 20
 _LPA_SWEEPS = 16
@@ -872,6 +874,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .localCheckpoint(eager=True))
         return out
 
+    def q_pagerank_warm(spark, sf):
+        # Warm-start PageRank on an evolving graph (round 6 — the
+        # operational surface of incremental_pagerank_r5.json): phase 1
+        # converges a deterministic edge SUBSET ((src*31 + dst) % 4 <>
+        # 0) for _PR_WARM_BASE_ITERS supersteps; phase 2 runs
+        # _PR_WARM_ITERS supersteps on the FULL graph seeded with the
+        # phase-1 scores (new arrivals start at 1/n).  Both phases are
+        # fixed-iteration, so the DuckDB oracle unrolls them exactly.
+        g_full = _graph(_order_edges(spark, sf), True)
+        e_base = g_full.edges.where(
+            (F.col("src") * 31 + F.col("dst")) % 4 != 0)
+        g_base = _graph(e_base, True)
+        with _lean_conf(spark):
+            base = pagerank(g_base, weights=True, tol=0.0,
+                            max_iter=_PR_WARM_BASE_ITERS)
+            out = (pagerank(g_full, weights=True, tol=0.0,
+                            max_iter=_PR_WARM_ITERS, init=base)
+                   .select("id", F.round("pagerank", 8).alias("pagerank"))
+                   .localCheckpoint(eager=True))
+        return out
+
     def q_atlas_counts(spark, sf):
         # Generated Graph Atlas (algorithms/atlas.py: distributed
         # orderly generation + McKay canonical dedup), reduced to the
@@ -1312,6 +1335,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_near_dup_lsh": q_ann_near_dup_lsh,
         "mst": q_mst,
         "dedup_clusters": q_dedup_clusters,
+        # NEW in r06, registered after the r06 window sealed at
+        # capacity (the owed-tail cohort fills all 50 slots) —
+        # ledgered pending_next_round per policy; oracle verified
+        # locally hash-exact on landing (tools/check_oracle.py)
+        "pagerank_warm": q_pagerank_warm,
     }
 
 
@@ -1354,6 +1382,77 @@ s{k} AS MATERIALIZED (
          / (SELECT total FROM agg{k}) AS pr
   FROM v LEFT JOIN flow{k} f ON f.id = v.id)"""
         prev = f"s{k}"
+    sql += f"""
+SELECT id, round(pr / (SELECT sum(pr) FROM {prev}), 8) AS pagerank
+FROM {prev}"""
+    return sql
+
+
+def _pagerank_warm_oracle(base_iters: int, warm_iters: int,
+                          d: float = 0.85) -> str:
+    """Two-phase unroll mirroring q_pagerank_warm: phase 1 runs
+    ``base_iters`` supersteps on the deterministic edge subset and
+    normalizes; phase 2 seeds the FULL graph with those scores (new
+    vertices at 1/n) and runs ``warm_iters`` supersteps.  Each phase's
+    step recurrence is expression-identical to _pagerank_oracle."""
+    fact = 1.0 - d
+
+    def _phase_prelude(tag: str, etab: str) -> str:
+        return f""",
+v{tag} AS MATERIALIZED (
+  SELECT src AS id FROM {etab} UNION SELECT dst FROM {etab}),
+nn{tag} AS MATERIALIZED (SELECT count(*) AS n FROM v{tag}),
+outd{tag} AS MATERIALIZED (
+  SELECT src, sum(greatest(weight, 0.0)) AS outdeg FROM {etab}
+  GROUP BY 1),
+links{tag} AS MATERIALIZED (
+  SELECT e.dst, e.src, e.weight / o.outdeg AS nw
+  FROM {etab} e JOIN outd{tag} o ON o.src = e.src WHERE o.outdeg <> 0),
+vinfo{tag} AS MATERIALIZED (
+  SELECT v.id, coalesce(o.outdeg, 0.0) = 0.0 AS dangling
+  FROM v{tag} v LEFT JOIN outd{tag} o ON o.src = v.id)"""
+
+    def _phase_steps(tag: str, s0: str, iters: int) -> tuple[str, str]:
+        sql, prev = "", s0
+        for k in range(1, iters + 1):
+            sql += f""",
+agg{tag}{k} AS MATERIALIZED (
+  SELECT sum(CASE WHEN vi.dangling THEN s.pr ELSE s.pr * {fact!r} END)
+           AS sumfrom,
+         sum(s.pr) AS total
+  FROM {prev} s JOIN vinfo{tag} vi ON vi.id = s.id),
+flow{tag}{k} AS MATERIALIZED (
+  SELECT l.dst AS id, sum(s.pr * l.nw) AS flow
+  FROM links{tag} l JOIN {prev} s ON s.id = l.src GROUP BY 1),
+s{tag}{k} AS MATERIALIZED (
+  SELECT v.id,
+         ({d!r} * coalesce(f.flow, 0.0)
+          + (SELECT sumfrom FROM agg{tag}{k})
+            * (1.0 / (SELECT n FROM nn{tag})))
+         / (SELECT total FROM agg{tag}{k}) AS pr
+  FROM v{tag} v LEFT JOIN flow{tag}{k} f ON f.id = v.id)"""
+            prev = f"s{tag}{k}"
+        return sql, prev
+
+    sql = f"""
+WITH ef AS MATERIALIZED ({_ORDER_E_SQL}),
+eb AS MATERIALIZED (SELECT * FROM ef WHERE (src * 31 + dst) % 4 <> 0)"""
+    sql += _phase_prelude("b", "eb")
+    sql += """,
+sb0 AS MATERIALIZED (
+  SELECT id, 1.0 / (SELECT n FROM nnb) AS pr FROM vb)"""
+    steps, prev = _phase_steps("b", "sb0", base_iters)
+    sql += steps
+    sql += f""",
+bfin AS MATERIALIZED (
+  SELECT id, pr / (SELECT sum(pr) FROM {prev}) AS pr FROM {prev})"""
+    sql += _phase_prelude("f", "ef")
+    sql += """,
+sf0 AS MATERIALIZED (
+  SELECT v.id, coalesce(b.pr, 1.0 / (SELECT n FROM nnf)) AS pr
+  FROM vf v LEFT JOIN bfin b ON b.id = v.id)"""
+    steps, prev = _phase_steps("f", "sf0", warm_iters)
+    sql += steps
     sql += f"""
 SELECT id, round(pr / (SELECT sum(pr) FROM {prev}), 8) AS pagerank
 FROM {prev}"""
@@ -3086,6 +3185,8 @@ def oracle_sql() -> dict[str, str]:
         # CTE chain per superstep; hash-seeded operators use the
         # md5-portable variants so DuckDB replays the exact hashes
         "pagerank": _pagerank_oracle(_PR_ITERS),
+        "pagerank_warm": _pagerank_warm_oracle(
+            _PR_WARM_BASE_ITERS, _PR_WARM_ITERS),
         "ppr": _ppr_oracle(_PR_ITERS),
         "sssp_weighted": _sssp_oracle(),
         "wl_partition": _wl_partition_oracle(),

@@ -36,6 +36,19 @@ neighborhood instead:
 The triangle arithmetic is IDENTICAL to ``_new_triangles``'s
 c1+c2+c3 decomposition — only the scan source changes, from the full
 flat set to the union of the probed buckets.
+
+**The pruning floor, measured honestly** (the statestore's
+"scattered" caveat applies here too): bucket pruning is proportional
+to ``min(#distinct probe vertices, B) / B``.  A batch whose endpoints
+are spread over more distinct vertices than there are buckets hashes
+into EVERY bucket — no read can be pruned, by construction of hash
+bucketing — so the fold detects that case (touched fraction above
+``PRUNE_MAX_FRACTION``) and falls back to one flat scan of the delta
+chain instead of paying per-bucket directory fan-out for nothing.
+The wins live where streaming folds actually concentrate: small
+micro-batches and hub-local updates (few distinct endpoints), where
+the fold reads a handful of bucket files instead of the full set —
+see BENCH/r06/trianglestore_scale.json for both profiles.
 """
 
 from __future__ import annotations
@@ -50,6 +63,10 @@ from igraph_spark.streaming.incremental import (_batch_triangles,
                                                 canonical_edges)
 
 _MANIFEST = "_MANIFEST"
+
+# above this fraction of touched buckets a pruned read degenerates to
+# a full scan with per-directory overhead on top — read flat instead
+PRUNE_MAX_FRACTION = 0.5
 
 
 def _bucket(col, n_buckets: int):
@@ -100,7 +117,17 @@ class BucketedEdgeStore:
     def _read_buckets(self, epochs, buckets) -> DataFrame:
         """Scan of the committed adjacency restricted to ``buckets`` —
         explicit partition directories only (the statestore pattern:
-        pruning by construction, not by filter pushdown)."""
+        pruning by construction, not by filter pushdown).  When the
+        probe touches more than PRUNE_MAX_FRACTION of all buckets no
+        pruning is possible (hash bucketing spreads any wide vertex
+        set over every bucket) and the scan falls back to reading the
+        delta directories whole — same bytes, none of the per-leaf
+        directory fan-out."""
+        if len(buckets) > self.n_buckets * PRUNE_MAX_FRACTION:
+            df = (self.spark.read.option("basePath", self.path)
+                  .parquet(*self._delta_dirs(epochs)).select("x", "w"))
+            self._pruned_input_files = df.inputFiles()
+            return df
         dirs = []
         for d in self._delta_dirs(epochs):
             for b in buckets:
@@ -193,12 +220,32 @@ class BucketedEdgeStore:
                                             F.col("u").alias("w")))
                       .withColumn("bucket",
                                   _bucket(F.col("x"), self.n_buckets)))
-        (bsym_store.write.mode("overwrite").partitionBy("bucket")
+        # cluster by bucket before the partitioned write: ~one file per
+        # bucket per delta instead of (#tasks x #buckets) fragments
+        # (guide §6 — sensible output file sizing)
+        (bsym_store.repartition(self.n_buckets, "bucket")
+         .write.mode("overwrite").partitionBy("bucket")
          .parquet(os.path.join(self.path, f"delta={epoch_id}")))
         epochs.append(epoch_id)
         self._write_manifest({"n_buckets": self.n_buckets,
                               "epochs": epochs, "count": count})
         return True
+
+    # --------------------------------------------------------- stream
+    def ingest(self, edge_stream: DataFrame, checkpoint_path: str):
+        """Streaming drop-in for ``incremental_triangles_ingest`` with
+        the bucketed layout: each micro-batch folds through
+        ``fold_epoch`` (replay-idempotent via the manifest commit).
+        Returns the StreamingQuery; drain with availableNow."""
+
+        def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            self.fold_epoch(batch_df, epoch_id)
+
+        return (edge_stream.writeStream
+                .foreachBatch(write_batch)
+                .option("checkpointLocation", checkpoint_path)
+                .trigger(availableNow=True)
+                .start())
 
     # -------------------------------------------------------- compact
     def compact(self, max_deltas: int = 16) -> bool:
@@ -212,6 +259,7 @@ class BucketedEdgeStore:
         df = (self.spark.read.option("basePath", self.path)
               .parquet(*self._delta_dirs(m["epochs"])))
         (df.select("x", "w", "bucket")
+         .repartition(self.n_buckets, "bucket")
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(os.path.join(self.path, f"delta={new_epoch}")))
         old = m["epochs"]

@@ -75,7 +75,9 @@ def test_owed_tail_gated_in_r06(ledger, registered):
     for rnd in ("r01", "r02", "r03", "r04", "r05"):
         for q in ledger["rounds"].get(rnd, []):
             last[q] = rnd
-    owed = [q for q in registered if last.get(q, "r00") <= "r04"]
+    pending = set(ledger.get("pending_next_round", []))
+    owed = [q for q in registered
+            if last.get(q, "r00") <= "r04" and q not in pending]
     missing = [q for q in owed if q not in window]
     assert not missing, f"owed queries outside the r06 window: {missing}"
     # the window is exactly north + owed (capacity check)
@@ -102,8 +104,12 @@ def test_displaced_terminal_is_principled(ledger, registered):
         assert q in window6, f"displaced query {q} not re-gated in r06"
         assert q not in ledger["changed_in"].get("r05", []), (
             f"changed query {q} may not be displaced")
-    # the never-gated r05 newcomers must all have made it into r05's window
-    never_gated = [q for q in registered if q not in previously_gated]
+    # the never-gated r05 newcomers must all have made it into r05's
+    # window (queries registered in r06 are covered by the pending
+    # ledger, not this invariant)
+    pending = set(ledger.get("pending_next_round", []))
+    never_gated = [q for q in registered
+                   if q not in previously_gated and q not in pending]
     missing = [q for q in never_gated if q not in window5]
     assert not missing, (
         f"never-officially-gated queries outside the r05 window: {missing}")

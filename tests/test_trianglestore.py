@@ -82,6 +82,29 @@ def test_fold_reads_only_probed_buckets(spark, store_path):
         spark, base + [(0, 97 * 50)])
 
 
+def test_streaming_ingest_bucketed(spark, store_path, tmp_path):
+    import os
+
+    from igraph_spark.generators import famous
+    g = famous(spark, "Zachary")
+    edges = [(r["src"], r["dst"]) for r in g.edges.collect()]
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    half = len(edges) // 2
+    for i, chunk in enumerate((edges[:half], edges[half:])):
+        (_edges(spark, chunk).coalesce(1)
+         .write.parquet(f"{feed}/b{i}"))
+    stream = (spark.readStream.schema("src long, dst long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{feed}/b*"))
+    st = BucketedEdgeStore(spark, store_path, n_buckets=8)
+    q = st.ingest(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    q.stop()
+    assert st.triangle_count() == 45
+    assert st.edges().count() == 78  # karate simple undirected edges
+
+
 def test_compact_preserves_state(spark, store_path):
     st = BucketedEdgeStore(spark, store_path, n_buckets=8)
     seen = []
