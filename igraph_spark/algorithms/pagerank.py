@@ -151,6 +151,14 @@ def personalized_pagerank(graph: Graph, damping: float = 0.85, reset=None,
         from igraph_spark.plans.csr import with_block_key, csr_contrib
         links = with_block_key(links, SRC, num_partitions) \
             .repartition(num_partitions, "pk")
+    elif (graph.directed
+          and getattr(graph, "_src_partitions", None) == num_partitions):
+        # edges already hash(src)-partitioned at the requested count
+        # (Graph.hash_partition) and every step from edges to links is
+        # partitioning-preserving (projection, src-keyed aggregation,
+        # src-keyed join, filter) — the explicit repartition would be
+        # a redundant full O(m) exchange (guide §2.4)
+        pass
     else:
         links = links.repartition(num_partitions, SRC)
     links = links.persist()

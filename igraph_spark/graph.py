@@ -319,7 +319,13 @@ class Graph:
         e = (self.edges.repartition(num_partitions, SRC)
              .sortWithinPartitions(SRC, DST)
              .persist(storage))
-        return Graph(e, self._vertices, self.directed, _canonical=True)
+        g = Graph(e, self._vertices, self.directed, _canonical=True)
+        # marker consumed by pagerank's link-table build: projections,
+        # filters and src-keyed joins/aggregations over these edges
+        # keep the hash(src) layout, so a matching consumer can skip
+        # its own repartition exchange outright (guide §2.4)
+        g._src_partitions = num_partitions
+        return g
 
     def unpersist(self) -> None:
         self.edges.unpersist()
