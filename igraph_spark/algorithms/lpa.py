@@ -110,8 +110,18 @@ def label_propagation(graph: Graph, weights: bool | None = None,
         pick_dst = (F.pmod(F.col(DST), F.lit(2)) if parity == "id"
                     else F.pmod(F.xxhash64(DST, F.lit(seed)), F.lit(2)))
 
+        # a directed graph whose edges already carry the requested
+        # hash(src) layout (Graph.hash_partition marker) keeps it
+        # through the projection + parity filter — caching the halves
+        # needs no exchange at all (guide §2.4)
+        pre_partitioned = (graph.directed and
+                           getattr(graph, "_src_partitions", None)
+                           == num_partitions)
+
         def _half(p):
-            h = inc.where(pick_dst == p).repartition(num_partitions, SRC)
+            h = inc.where(pick_dst == p)
+            if not pre_partitioned:
+                h = h.repartition(num_partitions, SRC)
             if LPA_SORT_INC:
                 h = h.sortWithinPartitions(SRC, DST)
             return h.persist(StorageLevel.MEMORY_AND_DISK)
