@@ -86,12 +86,30 @@ def _weak_components_raw(graph: Graph, max_iter: int = 200,
     # ONE exchange for the setup: hash-partition the symmetrized view on
     # src, then dedup (src,dst) inside partitions — hash(src) already
     # clusters every duplicate, so dropDuplicates adds no exchange
-    # (the old distinct-then-repartition paid two full O(2m) exchanges)
-    sym = (graph.sym_edges()
-           .where(F.col(SRC) != F.col(DST))
-           .repartition(num_partitions, SRC)
-           .dropDuplicates([SRC, DST])
-           .persist(StorageLevel.MEMORY_AND_DISK))
+    # (the old distinct-then-repartition paid two full O(2m) exchanges).
+    # On a graph whose edges already carry the requested hash(src)
+    # layout (Graph.hash_partition marker) the forward half needs NO
+    # exchange at all — only the reversed half is shuffled, halving
+    # even that one setup exchange.  min() is idempotent, so the
+    # split tables not deduplicating ACROSS halves (a reciprocal
+    # input pair) costs at most a duplicate message, never a wrong
+    # label.  Each round then probes both cached halves and unions
+    # the flows into the same partial-aggregated exchange.
+    base = graph.edges.select(SRC, DST).where(F.col(SRC) != F.col(DST))
+    rev = base.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    if getattr(graph, "_src_partitions", None) == num_partitions:
+        sym_parts = [
+            base.dropDuplicates([SRC, DST])
+                .persist(StorageLevel.MEMORY_AND_DISK),
+            rev.repartition(num_partitions, SRC)
+               .dropDuplicates([SRC, DST])
+               .persist(StorageLevel.MEMORY_AND_DISK)]
+    else:
+        sym_parts = [
+            (base.unionByName(rev)
+             .repartition(num_partitions, SRC)
+             .dropDuplicates([SRC, DST])
+             .persist(StorageLevel.MEMORY_AND_DISK))]
 
     runner = SuperstepRunner(spark, checkpoint_every=checkpoint_every,
                              fused_eval=True)
@@ -108,8 +126,11 @@ def _weak_components_raw(graph: Graph, max_iter: int = 200,
         # planner can only pick sort-merge, which re-sorts the cached
         # O(m) sym table every round (guide §3.1); the hinted sides
         # build bounded per-partition hash maps instead
-        nbrmin = (sym.join(frontier.hint("shuffle_hash"), SRC)
-                  .groupBy(DST).agg(F.min("fc").alias("nbr_comp")))
+        flows = [p.join(frontier.hint("shuffle_hash"), SRC)
+                 .select(DST, "fc") for p in sym_parts]
+        msgs = flows[0] if len(flows) == 1 else \
+            flows[0].unionByName(flows[1])
+        nbrmin = msgs.groupBy(DST).agg(F.min("fc").alias("nbr_comp"))
         half = (state.join(nbrmin.hint("shuffle_hash"),
                            state[ID] == nbrmin[DST], "left")
                 .select(state[ID], F.col("comp").alias("old"),
@@ -152,7 +173,8 @@ def _weak_components_raw(graph: Graph, max_iter: int = 200,
         changed_prev = changed
         if changed == 0:
             break
-    sym.unpersist()
+    for p_ in sym_parts:
+        p_.unpersist()
     return state.select(ID, "comp")
 
 
